@@ -1,0 +1,27 @@
+"""Test configuration: run every test on a virtual 8-device CPU mesh.
+
+The container's sitecustomize registers a TPU ('axon') PJRT plugin and
+pins JAX_PLATFORMS=axon; tests must run on CPU with 8 virtual devices
+(SURVEY.md §4d), so we force the platform through jax.config before any
+backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(53)
