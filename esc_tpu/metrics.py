@@ -1,0 +1,147 @@
+"""Evaluation metrics: PESQ (host C lib, gated), Mel distance, SI-SDR,
+codebook-entropy / bitrate-utilization counter.
+
+Mirrors scripts/metrics.py. Mel distance and SI-SDR are jitted JAX
+functions vmapped over the batch; PESQ stays a host-side call into the
+``pesq`` C library when installed (a pure reimplementation would break
+comparability with published numbers) and degrades to NaN otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.mel import MEL_BINS, MEL_WINDOWS, mel_spectrogram
+
+__all__ = ["PESQ", "MelSpectrogramDistance", "SISDR", "EntropyCounter",
+           "mel_distance", "sisdr"]
+
+SR = 16000
+
+try:
+    from pesq import pesq as _pesq_fn  # C implementation of ITU-T P.862
+    HAVE_PESQ = True
+except ImportError:  # pragma: no cover - gated dependency
+    _pesq_fn = None
+    HAVE_PESQ = False
+
+
+class PESQ:
+    """Batch PESQ (wideband) via the host pesq C library
+    (scripts/metrics.py:79-94). Returns NaNs when the library is absent."""
+
+    def __call__(self, x, y) -> np.ndarray:
+        x = np.asarray(x)
+        y = np.asarray(y)
+        if not HAVE_PESQ:
+            return np.full((x.shape[0],), np.nan, dtype=np.float32)
+        out = []
+        for b in range(x.shape[0]):
+            try:
+                out.append(_pesq_fn(SR, x[b], y[b], "wb"))
+            except Exception:
+                out.append(np.nan)
+        return np.asarray(out, dtype=np.float32)
+
+
+@jax.jit
+def mel_distance(raw_audio: jnp.ndarray, recon_audio: jnp.ndarray) -> jnp.ndarray:
+    """7-scale L1 log-mel distance, per-sample (scripts/metrics.py:96-121)."""
+    clamp_eps = 1e-5
+    loss = 0.0
+    for w, m in zip(MEL_WINDOWS, MEL_BINS):
+        x_m = mel_spectrogram(raw_audio, w, m, SR)
+        y_m = mel_spectrogram(recon_audio, w, m, SR)
+        lx = jnp.log10(jnp.clip(x_m, min=clamp_eps) ** 2)
+        ly = jnp.log10(jnp.clip(y_m, min=clamp_eps) ** 2)
+        loss += jnp.mean(jnp.abs(lx - ly), axis=(1, 2))
+    return loss
+
+
+@jax.jit
+def sisdr(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Scale-invariant SDR, per-sample (scripts/metrics.py:123-171)."""
+    eps = 1e-8
+    ref = x - jnp.mean(x, axis=-1, keepdims=True)
+    est = y - jnp.mean(y, axis=-1, keepdims=True)
+    ref_energy = jnp.sum(ref * ref, axis=-1) + eps
+    proj = jnp.sum(ref * est, axis=-1) + eps
+    scale = (proj / ref_energy)[..., None]
+    e_true = scale * ref
+    e_res = est - e_true
+    signal = jnp.sum(e_true ** 2, axis=-1)
+    noise = jnp.sum(e_res ** 2, axis=-1)
+    return 10.0 * jnp.log10(signal / noise + eps)
+
+
+class MelSpectrogramDistance:
+    def __call__(self, x, y):
+        return np.asarray(mel_distance(jnp.asarray(x), jnp.asarray(y)))
+
+
+class SISDR:
+    def __call__(self, x, y):
+        return np.asarray(sisdr(jnp.asarray(x), jnp.asarray(y)))
+
+
+@jax.jit
+def _code_histograms(codes: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
+    """codes (B, S, G, T) -> counts (S, G, codebook_size), one pass."""
+    onehot = jax.nn.one_hot(codes, codebook_size, dtype=jnp.float32)
+    return jnp.sum(onehot, axis=(0, 3))
+
+
+class EntropyCounter:
+    """Codebook-utilization counter (scripts/metrics.py:12-77).
+
+    The per-(stream, group) histogram update is one vectorized one-hot
+    reduction on device instead of the reference's python double loop.
+    """
+
+    def __init__(self, codebook_size: int = 1024, num_streams: int = 6,
+                 num_groups: int = 3, device: Optional[str] = None):
+        self.codebook_size = codebook_size
+        self.num_groups = num_groups
+        self.reset_stats(num_streams)
+
+    def reset_stats(self, num_streams: int) -> None:
+        self.num_streams = num_streams
+        self.counts = np.zeros(
+            (num_streams, self.num_groups, self.codebook_size), np.float64)
+        self.total_counts = 0
+        self.dist = None
+        self.entropy = None
+        self.max_entropy_per_book = np.log2(self.codebook_size)
+        self.max_total_entropy = (num_streams * self.num_groups
+                                  * self.max_entropy_per_book)
+
+    def update(self, codes) -> None:
+        """codes: (B, num_streams, num_groups, T)."""
+        codes = jnp.asarray(codes)
+        assert codes.shape[1] == self.num_streams \
+            and codes.shape[2] == self.num_groups, "code indices size not match"
+        self.total_counts += codes.shape[0] * codes.shape[-1]
+        self.counts += np.asarray(
+            _code_histograms(codes, self.codebook_size), dtype=np.float64)
+
+    def _form(self) -> None:
+        assert self.total_counts > 0, \
+            "No data collected, please update on a specific dataset"
+        self.dist = self.counts / self.total_counts
+        self.entropy = -np.sum(self.dist * np.log2(self.dist + 1e-10),
+                               axis=-1)  # (S, G)
+
+    def compute_utilization(self) -> Tuple[float, Dict[str, float]]:
+        """Returns (overall utilization, per-codebook utilization dict)."""
+        if self.dist is None or self.entropy is None:
+            self._form()
+        per_book = {
+            f"stream_{s}_group_{g + 1}":
+                round(float(self.entropy[s, g]) / self.max_entropy_per_book, 4)
+            for s in range(self.num_streams) for g in range(self.num_groups)}
+        total = round(float(self.entropy.sum()) / self.max_total_entropy, 4)
+        return total, per_book

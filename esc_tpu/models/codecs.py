@@ -1,0 +1,411 @@
+"""Codec facades: ESC (cross-scale product VQ) and RVQCodecs (ablation).
+
+Re-design of esc/models/codecs.py. Each codec is a flax module
+(`ESCModule` / `RVQModule`) plus a stateful convenience wrapper
+(`ESC` / `RVQCodecs`) that owns the variables and jit caches, so user
+code reads like the reference:
+
+    model = ESC(**config)            # lazy-init params
+    codes, shape = model.encode(x, num_streams=6)
+    recon = model.decode(codes, shape)
+
+``num_streams`` is always a static Python int — at most six compiled
+variants per entry point, cached by jax.jit.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..modules.vq import ProductResidualVectorQuantize, ProductVectorQuantize
+from ..ops.stft import audio_reconstruct, spec_transform
+from .base import Decoder, Encoder
+from .csrvq import CrossScaleRVQDecoder
+
+__all__ = ["ESCModule", "RVQModule", "ESC", "RVQCodecs", "model_dict",
+           "make_model"]
+
+
+class ESCModule(nn.Module):
+    """Efficient Speech Codec as a flax module (esc/models/codecs.py:9-94)."""
+
+    in_dim: int = 2
+    in_freq: int = 192
+    h_dims: Sequence[int] = (45, 72, 96, 144, 192, 384)
+    max_streams: int = 6
+    win_len: int = 20
+    hop_len: int = 5
+    sr: int = 16000
+    patch_size: Sequence[int] = (3, 2)
+    swin_heads: Sequence[int] = (3, 6, 12, 24, 24)
+    swin_depth: int = 2
+    window_size: int = 4
+    mlp_ratio: float = 4.0
+    overlap: int = 2
+    group_size: int = 3
+    codebook_size: int = 1024
+    codebook_dims: Sequence[int] = (8, 8, 8, 8, 8, 8)
+    l2norm: bool = True
+    backbone: str = "transformer"
+    kernel_size: Sequence[int] = (5, 2)
+    conv_depth: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h = list(self.h_dims)
+        dec_h = h[::-1]
+        H = self.in_freq // self.patch_size[0]
+        # Per-scale product VQs (reference init_ProductVQs, base.py:49-71).
+        qs = [ProductVectorQuantize(
+            in_dim=dec_h[0], in_freq=H // 2 ** (self.max_streams - 1),
+            overlap=self.overlap, num_vqs=self.group_size,
+            codebook_dim=self.codebook_dims[0],
+            codebook_size=self.codebook_size, l2norm=self.l2norm,
+            name="quantizers_0")]
+        for i in range(1, self.max_streams):
+            qs.append(ProductVectorQuantize(
+                in_dim=dec_h[i - 1],
+                in_freq=H // 2 ** (self.max_streams - i),
+                overlap=self.overlap, num_vqs=self.group_size,
+                codebook_dim=self.codebook_dims[i],
+                codebook_size=self.codebook_size, l2norm=self.l2norm,
+                name=f"quantizers_{i}"))
+        self.quantizers = qs
+        self.encoder = Encoder(self.backbone, self.in_freq, self.in_dim,
+                               tuple(self.h_dims), tuple(self.patch_size),
+                               tuple(self.kernel_size), self.conv_depth,
+                               tuple(self.swin_heads), self.swin_depth,
+                               self.window_size, self.mlp_ratio,
+                               dtype=self.dtype)
+        self.decoder = CrossScaleRVQDecoder(
+            backbone=self.backbone, in_freq=self.in_freq, in_dim=self.in_dim,
+            h_dims=tuple(dec_h), patch_size=tuple(self.patch_size),
+            kernel_size=tuple(self.kernel_size), conv_depth=self.conv_depth,
+            swin_heads=tuple(self.swin_heads[::-1]),
+            swin_depth=self.swin_depth, window_size=self.window_size,
+            mlp_ratio=self.mlp_ratio, dtype=self.dtype)
+
+    @property
+    def max_bps(self) -> float:
+        return (2 / self.overlap) * self.max_streams \
+            * math.log2(self.codebook_size) * self.group_size \
+            // (20 * self.patch_size[1] // 2)
+
+    def __call__(self, x, x_feat=None, num_streams: int = 6,
+                 freeze_codebook: bool = False, training: bool = False):
+        """Full forward (esc/models/codecs.py:30-66). Returns the reference
+        output dict with per-sample ``(B,)`` losses."""
+        if freeze_codebook:
+            num_streams = self.max_streams
+        if x_feat is None:
+            x_feat = spec_transform(x, self.in_freq, self.win_len,
+                                    self.hop_len, self.sr)
+        else:
+            x_feat = x_feat.transpose(0, 3, 1, 2)  # (B,F,T,2) -> (B,2,F,T)
+        enc_hs, feat_shape = self.encoder(x_feat, training=training)
+        recon_feat, codes, cm_loss, cb_loss = self.decoder(
+            enc_hs, num_streams, self.quantizers, feat_shape,
+            freeze_vq=freeze_codebook, training=training)
+        recon_x = audio_reconstruct(recon_feat, self.in_freq, self.win_len,
+                                    self.hop_len, self.sr)
+        return {"cm_loss": cm_loss, "cb_loss": cb_loss,
+                "raw_audio": x, "recon_audio": recon_x,
+                "raw_feat": x_feat, "recon_feat": recon_feat,
+                "codes": codes}
+
+    def encode(self, x, num_streams: int = 6):
+        """Waveform -> multi-scale codes (esc/models/codecs.py:68-81)."""
+        x_feat = spec_transform(x, self.in_freq, self.win_len, self.hop_len,
+                                self.sr)
+        enc_hs, feat_shape = self.encoder(x_feat, training=False)
+        return self.decoder.encode(enc_hs, num_streams, self.quantizers,
+                                   feat_shape)
+
+    def decode(self, codes, feat_shape: Tuple[int, int]):
+        """Codes -> waveform (esc/models/codecs.py:83-94)."""
+        recon_feat = self.decoder.decode(codes, self.quantizers, feat_shape)
+        return audio_reconstruct(recon_feat, self.in_freq, self.win_len,
+                                 self.hop_len, self.sr)
+
+
+class RVQModule(nn.Module):
+    """Bottleneck product-residual VQ codec (esc/models/codecs.py:96-181)."""
+
+    in_dim: int = 2
+    in_freq: int = 192
+    h_dims: Sequence[int] = (45, 72, 96, 144, 192, 384)
+    max_streams: int = 6
+    backbone: str = "transformer"
+    kernel_size: Sequence[int] = (5, 2)
+    conv_depth: int = 1
+    patch_size: Sequence[int] = (3, 2)
+    swin_heads: Sequence[int] = (3, 6, 12, 24, 24)
+    swin_depth: int = 2
+    window_size: int = 4
+    mlp_ratio: float = 4.0
+    overlap: int = 2
+    num_rvqs: int = 6
+    group_size: int = 3
+    codebook_dim: int = 8
+    codebook_size: int = 1024
+    l2norm: bool = True
+    win_len: int = 20
+    hop_len: int = 5
+    sr: int = 16000
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h = list(self.h_dims)
+        dec_h = h[::-1]
+        H = self.in_freq // self.patch_size[0]
+        self.quantizers = ProductResidualVectorQuantize(
+            in_dim=dec_h[0], in_freq=H // 2 ** (self.max_streams - 1),
+            overlap=self.overlap, num_pvqs=self.group_size,
+            num_rvqs=self.num_rvqs, codebook_dim=self.codebook_dim,
+            codebook_size=self.codebook_size, l2norm=self.l2norm)
+        self.encoder = Encoder(self.backbone, self.in_freq, self.in_dim,
+                               tuple(h), tuple(self.patch_size),
+                               tuple(self.kernel_size), self.conv_depth,
+                               tuple(self.swin_heads), self.swin_depth,
+                               self.window_size, self.mlp_ratio,
+                               dtype=self.dtype)
+        self.decoder = Decoder(self.backbone, self.in_freq, self.in_dim,
+                               tuple(dec_h), tuple(self.patch_size),
+                               tuple(self.kernel_size), self.conv_depth,
+                               tuple(self.swin_heads[::-1]), self.swin_depth,
+                               self.window_size, self.mlp_ratio,
+                               dtype=self.dtype)
+
+    @property
+    def max_bps(self) -> float:
+        return (2 / self.overlap) * self.max_streams \
+            * math.log2(self.codebook_size) * self.group_size \
+            // (20 * self.patch_size[1] // 2)
+
+    def _nchw(self, x):
+        return x.transpose(0, 3, 1, 2) if self.backbone == "convolution" \
+            else x
+
+    def __call__(self, x, x_feat=None, num_streams: int = 6,
+                 freeze_codebook: bool = False, training: bool = False):
+        if x_feat is None:
+            x_feat = spec_transform(x, self.in_freq, self.win_len,
+                                    self.hop_len, self.sr)
+        else:
+            x_feat = x_feat.transpose(0, 3, 1, 2)
+        enc_hs, feat_shape = self.encoder(x_feat, training=training)
+        out = self.quantizers(self._nchw(enc_hs[-1]), num_streams,
+                              freeze_vq=freeze_codebook, training=training)
+        z_q = out["z_q"]
+        if self.backbone == "convolution":
+            z_q = z_q.transpose(0, 2, 3, 1)
+        recon_feat = self.decoder(z_q, feat_shape, training=training)
+        recon_x = audio_reconstruct(recon_feat, self.in_freq, self.win_len,
+                                    self.hop_len, self.sr)
+        return {"cm_loss": out["cm_loss"], "cb_loss": out["cb_loss"],
+                "raw_audio": x, "recon_audio": recon_x,
+                "raw_feat": x_feat, "recon_feat": recon_feat,
+                "codes": out["codes"]}
+
+    def encode(self, x, num_streams: int = 6):
+        x_feat = spec_transform(x, self.in_freq, self.win_len, self.hop_len,
+                                self.sr)
+        enc_hs, _ = self.encoder(x_feat, training=False)
+        return self.quantizers.encode(self._nchw(enc_hs[-1]), num_streams)
+
+    def decode(self, codes, feat_shape: Tuple[int, int]):
+        dims = 4 if self.backbone == "convolution" else 3
+        z_q = self.quantizers.decode(codes, dims)
+        if self.backbone == "convolution":
+            z_q = z_q.transpose(0, 2, 3, 1)
+        recon_feat = self.decoder(z_q, feat_shape, training=False)
+        return audio_reconstruct(recon_feat, self.in_freq, self.win_len,
+                                 self.hop_len, self.sr)
+
+
+class _CodecWrapper:
+    """Stateful convenience facade around a codec flax module.
+
+    Owns the variables, lazily initialized, and jit-caches the
+    encode/decode/forward entry points (static num_streams/feat_shape).
+    """
+
+    module_cls = None
+
+    def __init__(self, seed: int = 0, dtype: Any = jnp.float32, **config):
+        config = dict(config)
+        config.pop("dtype", None)
+        self.config = config
+        self.module = self.module_cls(**config, dtype=dtype)
+        self.variables = None
+        self._seed = seed
+
+        mod = self.module
+
+        @functools.partial(jax.jit, static_argnames=("num_streams",))
+        def _encode(variables, x, num_streams):
+            return mod.apply(variables, x, num_streams, method="encode")
+
+        @functools.partial(jax.jit, static_argnames=("feat_shape",))
+        def _decode(variables, codes, feat_shape):
+            return mod.apply(variables, codes, feat_shape, method="decode")
+
+        @functools.partial(jax.jit,
+                           static_argnames=("num_streams", "freeze_codebook"))
+        def _forward(variables, x, x_feat, num_streams, freeze_codebook):
+            return mod.apply(variables, x, x_feat, num_streams,
+                             freeze_codebook, False)
+
+        self._encode_fn, self._decode_fn, self._forward_fn = \
+            _encode, _decode, _forward
+
+    # -- variables ------------------------------------------------------
+
+    @property
+    def max_streams(self) -> int:
+        return self.module.max_streams
+
+    @property
+    def max_bps(self) -> float:
+        return self.module.max_bps
+
+    def init_params(self, seed: int | None = None, example_len: int = 47920):
+        rng = jax.random.PRNGKey(self._seed if seed is None else seed)
+        x = jnp.zeros((1, example_len), jnp.float32)
+        self.variables = self.module.init(rng, x, None, self.max_streams,
+                                          False, False)
+        return self.variables
+
+    def _ensure_init(self):
+        if self.variables is None:
+            self.init_params()
+
+    def num_params(self) -> int:
+        self._ensure_init()
+        leaves = jax.tree_util.tree_leaves(self.variables["params"])
+        return int(sum(np.prod(l.shape) for l in leaves))
+
+    def feat_shape(self, audio_len: int) -> Tuple[int, int]:
+        """Bottom-scale feature shape for a given audio length (static)."""
+        m = self.module
+        hop = int(m.hop_len * m.sr * 1e-3)
+        T = audio_len // hop + 1
+        H = m.in_freq // m.patch_size[0]
+        W = T // m.patch_size[1]
+        if m.backbone == "convolution":
+            for _ in range(m.max_streams - 1):
+                H = H // 2
+        else:
+            for _ in range(m.max_streams - 1):
+                H = (H + 1) // 2
+        return (H, W)
+
+    # -- reference-facing API -------------------------------------------
+
+    def __call__(self, x, x_feat=None, num_streams: int = 6,
+                 freeze_codebook: bool = False):
+        """Eval-mode forward returning the reference output dict."""
+        self._ensure_init()
+        return self._forward_fn(self.variables, jnp.asarray(x), x_feat,
+                                num_streams, freeze_codebook)
+
+    forward = __call__
+
+    def encode(self, x, num_streams: int = 6):
+        """Waveform -> (codes, feat_shape)."""
+        self._ensure_init()
+        x = jnp.asarray(x)
+        codes = self._encode_fn(self.variables, x, num_streams)
+        return codes, self.feat_shape(x.shape[-1])
+
+    def decode(self, codes, feat_shape: Tuple[int, int]):
+        """(codes, feat_shape) -> waveform."""
+        self._ensure_init()
+        return self._decode_fn(self.variables, jnp.asarray(codes),
+                               tuple(feat_shape))
+
+    def print_codec(self):
+        """Mirror of BaseAudioCodec.print_codec (esc/models/base.py:86-107)."""
+        m = self.module
+        if isinstance(self, RVQCodecs):
+            q = m.quantizers
+            print("Codec Visualization [only at bottom]")
+            print("     Freq dim:                ", q.in_freq)
+            print("     Channel(hidden) dim:     ", q.in_dim)
+            print("     Reshaped hidden dim:     ", q.fix_dim)
+            print("     Codebook dim:            ", q.codebook_dim)
+            return
+        H = m.in_freq // m.patch_size[0]
+        dec_h = list(m.h_dims)[::-1]
+        freqs = [H // 2 ** (m.max_streams - 1)] + \
+            [H // 2 ** (m.max_streams - i) for i in range(1, m.max_streams)]
+        dims = [dec_h[0]] + [dec_h[i - 1] for i in range(1, m.max_streams)]
+        print("Codec Visualization [from bottom to top]: ")
+        print("     Freq dims:                ", freqs)
+        print("     Channel(hidden) dims:     ", dims)
+        print("     Reshaped hidden dims:     ", [f * d for f, d in zip(freqs, dims)])
+        print("     Codebook dims:            ", list(m.codebook_dims))
+
+
+class ESC(_CodecWrapper):
+    """Efficient Speech Codec (reference ESC, esc/models/codecs.py:9)."""
+
+    module_cls = ESCModule
+
+
+class RVQCodecs(_CodecWrapper):
+    """RVQ ablation codec (reference RVQCodecs, esc/models/codecs.py:96)."""
+
+    module_cls = RVQModule
+
+
+model_dict = {
+    "csvq+conv": ESC,
+    "csvq+swinT": ESC,
+    "rvq+conv": RVQCodecs,
+    "rvq+swinT": RVQCodecs,
+}
+
+
+def make_model(model_config, model_name: str = "csvq+swinT",
+               seed: int = 0, dtype: Any = jnp.float32):
+    """Build a codec from a config dict/namespace (esc/models/codecs.py:190).
+
+    Unlike the reference (whose invalid-name check is a no-op bare string,
+    codecs.py:191-192), unknown names raise. ``model_name`` defaults to
+    ``csvq+swinT`` so `scripts.compress`-style configs without a name work
+    (the reference CLI omits it and would TypeError, compress.py:22).
+    """
+    if model_name not in model_dict:
+        raise ValueError(
+            f"{model_name!r} is not valid within "
+            f"[csvq+conv, csvq+swinT, rvq+conv, rvq+swinT]")
+    cfg = model_config if isinstance(model_config, dict) \
+        else vars(model_config)
+    cfg = _normalize_config(dict(cfg), model_name)
+    return model_dict[model_name](seed=seed, dtype=dtype, **cfg)
+
+
+def _normalize_config(cfg: dict, model_name: str) -> dict:
+    """Fix reference config quirks (SURVEY §7): ablation YAMLs mix up
+    ``codebook_dim``/``codebook_dims`` between the two model families."""
+    if model_name.startswith("csvq"):
+        if "codebook_dim" in cfg and "codebook_dims" not in cfg:
+            d = cfg.pop("codebook_dim")
+            n = cfg.get("max_streams", 6)
+            cfg["codebook_dims"] = [d] * n if isinstance(d, int) else list(d)
+        cfg.pop("num_rvqs", None)
+    else:
+        if "codebook_dims" in cfg and "codebook_dim" not in cfg:
+            d = cfg.pop("codebook_dims")
+            cfg["codebook_dim"] = d[0] if isinstance(d, (list, tuple)) else d
+        elif isinstance(cfg.get("codebook_dim"), (list, tuple)):
+            cfg["codebook_dim"] = cfg["codebook_dim"][0]
+    return cfg
