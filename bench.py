@@ -1,0 +1,70 @@
+"""Benchmark: encode+decode real-time factor per chip (ESC-Base, 3 s clips).
+
+North star (BASELINE.md): >= 1x real-time encode+decode per TPU chip at
+1.5-9 kbps. The reference publishes no RTF, so vs_baseline is measured
+against the 1.0x real-time bar.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from esc_tpu.models import ESC
+
+    config = dict(
+        backbone="transformer", in_dim=2, in_freq=192,
+        h_dims=[45, 72, 96, 144, 192, 384], max_streams=6,
+        win_len=20, hop_len=5, sr=16000, patch_size=[3, 2],
+        swin_heads=[3, 6, 12, 24, 24], swin_depth=2, window_size=4,
+        mlp_ratio=4.0, overlap=2, group_size=3, codebook_size=1024,
+        codebook_dims=[8, 8, 8, 8, 8, 8], l2norm=True,
+    )
+
+    B, L, SR = 8, 47920, 16000  # batch of 3 s EvalSet clips
+    num_streams = 6
+
+    model = ESC(**config)
+    model.init_params(example_len=L)
+
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((B, L)).astype(np.float32)
+
+    # Warmup / compile both directions.
+    codes, feat_shape = model.encode(x, num_streams=num_streams)
+    recon = model.decode(codes, feat_shape)
+    jax.block_until_ready(recon)
+
+    def roundtrip():
+        c, fs = model.encode(x, num_streams=num_streams)
+        r = model.decode(c, fs)
+        jax.block_until_ready(r)
+        return r
+
+    roundtrip()  # one more steady-state warmup
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        roundtrip()
+    dt = time.perf_counter() - t0
+
+    audio_seconds = iters * B * (L / SR)
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "encode_decode_rtf_per_chip",
+        "value": round(rtf, 3),
+        "unit": "x_realtime (batch=8, 3s clips, 9kbps, ESC-Base)",
+        "vs_baseline": round(rtf / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

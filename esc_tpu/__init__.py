@@ -9,3 +9,21 @@ SPMD data-parallel training over a jax.sharding Mesh.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: compiles of the jitted codec entry
+# points are reused across processes (CLIs, trainers, benchmarks).
+# Opt out with ESC_TPU_NO_COMPILE_CACHE=1 or override via the standard
+# JAX_COMPILATION_CACHE_DIR. Set through jax.config (not env) because
+# the interpreter may have imported jax before this package.
+if not _os.environ.get("ESC_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "esc_tpu_jax")))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

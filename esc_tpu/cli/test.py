@@ -1,0 +1,58 @@
+"""Batch evaluation CLI (mirrors scripts/test.py:57-118).
+
+    python -m esc_tpu.cli.test \
+        --eval_folder_path ./eval_set --batch_size 12 \
+        --model_path ./esc9kbps
+
+Sweeps all bitrates (or one via --num_streams), writes
+``{save_path}/perf_stats.json`` in the reference layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..metrics import PESQ, EntropyCounter, MelSpectrogramDistance, SISDR
+from ..train.data import make_dataloader
+from ..train.evaluate import eval_epoch
+from ..utils import read_yaml
+from .compress import load_model
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--eval_folder_path", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--model_path", type=str, required=True,
+                   help="folder with model configuration and checkpoint")
+    p.add_argument("--save_path", type=str, default=None,
+                   help="folder to save test statistics")
+    p.add_argument("--num_streams", type=int, default=None,
+                   help="evaluate a single bitrate instead of the sweep")
+    p.add_argument("--device", type=str, default=None,
+                   help="unused (JAX selects the backend)")
+    return p.parse_args(argv)
+
+
+def run(args):
+    eval_loader = make_dataloader(args.eval_folder_path, args.batch_size,
+                                  shuffle=False)
+    metric_funcs = {"PESQ": PESQ(), "MelDistance": MelSpectrogramDistance(),
+                    "SISDR": SISDR()}
+    model = load_model(args.model_path)
+    cfg = read_yaml(f"{args.model_path}/config.yaml")
+    e_counter = EntropyCounter(cfg["model"]["codebook_size"],
+                               num_streams=cfg["model"]["max_streams"],
+                               num_groups=cfg["model"].get("group_size", 3))
+    performances = eval_epoch(model, eval_loader, metric_funcs, e_counter,
+                              bps_per_stream=1.5,
+                              num_streams=args.num_streams, verbose=True)
+    save_path = args.save_path or args.model_path
+    with open(f"{save_path}/perf_stats.json", "w") as f:
+        json.dump(performances, f, indent=2)
+    print(f"Test statistics saved into {save_path}/perf_stats.json")
+
+
+if __name__ == "__main__":
+    run(parse_args())

@@ -9,6 +9,7 @@ comparability with published numbers) and degrades to NaN otherwise.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -88,7 +89,7 @@ class SISDR:
         return np.asarray(sisdr(jnp.asarray(x), jnp.asarray(y)))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(1,))
 def _code_histograms(codes: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
     """codes (B, S, G, T) -> counts (S, G, codebook_size), one pass."""
     onehot = jax.nn.one_hot(codes, codebook_size, dtype=jnp.float32)

@@ -279,8 +279,13 @@ class _CodecWrapper:
     def init_params(self, seed: int | None = None, example_len: int = 47920):
         rng = jax.random.PRNGKey(self._seed if seed is None else seed)
         x = jnp.zeros((1, example_len), jnp.float32)
-        self.variables = self.module.init(rng, x, None, self.max_streams,
-                                          False, False)
+        # jit the initializer: eager init dispatches hundreds of tiny ops
+        # (minutes through a remote-TPU tunnel); compiled it is one
+        # program and lands in the persistent compilation cache.
+        init_fn = jax.jit(self.module.init,
+                          static_argnums=(2, 3, 4, 5))  # feat/streams/flags
+        self.variables = init_fn(rng, x, None, self.max_streams, False,
+                                 False)
         return self.variables
 
     def _ensure_init(self):
@@ -309,9 +314,16 @@ class _CodecWrapper:
 
     # -- reference-facing API -------------------------------------------
 
+    def _check_streams(self, num_streams: int):
+        if not 1 <= num_streams <= self.max_streams:
+            raise ValueError(
+                f"num_streams must be in 1..{self.max_streams} "
+                f"(got {num_streams}); bitrate = num_streams * 1.5 kbps")
+
     def __call__(self, x, x_feat=None, num_streams: int = 6,
                  freeze_codebook: bool = False):
         """Eval-mode forward returning the reference output dict."""
+        self._check_streams(num_streams)
         self._ensure_init()
         return self._forward_fn(self.variables, jnp.asarray(x), x_feat,
                                 num_streams, freeze_codebook)
@@ -320,6 +332,7 @@ class _CodecWrapper:
 
     def encode(self, x, num_streams: int = 6):
         """Waveform -> (codes, feat_shape)."""
+        self._check_streams(num_streams)
         self._ensure_init()
         x = jnp.asarray(x)
         codes = self._encode_fn(self.variables, x, num_streams)

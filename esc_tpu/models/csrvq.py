@@ -97,25 +97,28 @@ class CrossScaleRVQDecoder(nn.Module):
             return out
         return vq(residual, freeze_vq=freeze_vq, training=training)
 
-    def csrvq(self, enc, dec, vq, transmit: bool, freeze_vq: bool,
+    def csrvq(self, enc, dec, vq, transmit, freeze_vq: bool,
               training: bool):
         """Quantize enc-dec residual and refine dec (csrvq.py:23-48).
 
-        ``transmit`` is static; non-transmitted streams still run in
-        training mode (losses/latents zeroed) and are skipped entirely in
-        eval mode (csrvq.py:35-36) — numerically identical, but eval
-        avoids the dead compute.
+        ``transmit`` may be a static bool or (in training) a traced 0/1
+        scalar. Non-transmitted streams still run in training mode with
+        losses/latents multiplied by zero (csrvq.py:43-45) — this keeps
+        every parameter on the gradient path AND lets the whole training
+        step compile once with ``num_streams`` as a device scalar. Eval
+        (static bool) skips the dead compute entirely (csrvq.py:35-36);
+        the numerics are identical.
         """
-        if not training and not transmit:
+        if not training and transmit is False:
             return dec, 0.0, 0.0, None
         residual = enc - dec
         out = self._vq_apply(vq, residual, freeze_vq, training)
         residual_q, code = out["z_q"], out["codes"]
         cm_loss, cb_loss = out["cm_loss"], out["cb_loss"]
-        if not transmit:
-            cm_loss = cm_loss * 0.0
-            cb_loss = cb_loss * 0.0
-            residual_q = residual_q * 0.0
+        live = jnp.asarray(transmit, jnp.float32)
+        cm_loss = cm_loss * live
+        cb_loss = cb_loss * live
+        residual_q = residual_q * live
         return residual_q + dec, cm_loss, cb_loss, code
 
     def csrvq_encode(self, enc, dec, vq):
@@ -150,23 +153,30 @@ class CrossScaleRVQDecoder(nn.Module):
 
     # -- full passes ----------------------------------------------------
 
-    def __call__(self, enc_hs: List[jnp.ndarray], num_streams: int,
+    def __call__(self, enc_hs: List[jnp.ndarray], num_streams,
                  quantizers, feat_shape: Tuple[int, int],
                  freeze_vq: bool = False, training: bool = False):
         """Step-wise cross-scale decoding (csrvq.py:97-129).
 
         Returns (recon_feat, codes, cm_loss, cb_loss); in training mode
-        codes covers all ``max_streams`` scales, in eval mode only the
-        transmitted ones — exactly the reference semantics.
+        codes covers all ``max_streams`` scales and ``num_streams`` may
+        be a traced int (one compiled step for every bitrate); in eval
+        mode ``num_streams`` must be a static int and only transmitted
+        codes are returned — exactly the reference semantics.
         """
         z0, cm_loss, cb_loss, code = self.csrvq(
             enc=enc_hs[-1], dec=0.0, vq=quantizers[0], transmit=True,
             freeze_vq=freeze_vq, training=training)
         codes, dec = [code], z0
         for i in range(len(self.blocks)):
+            if training:
+                transmit = (jnp.asarray(i, jnp.int32)
+                            < jnp.asarray(num_streams, jnp.int32) - 1)
+            else:
+                transmit = bool(i < num_streams - 1)
             dec_refine, cm_i, cb_i, code_i = self.csrvq(
                 enc=enc_hs[-1 - i], dec=dec, vq=quantizers[i + 1],
-                transmit=(i < num_streams - 1), freeze_vq=freeze_vq,
+                transmit=transmit, freeze_vq=freeze_vq,
                 training=training)
             cm_loss += cm_i
             cb_loss += cb_i

@@ -5,6 +5,7 @@ from .scale import PatchEmbed, PatchDeEmbed, PatchMerge, PatchSplit
 from .vq import (Codebook, ProductVectorQuantize, ResidualVectorQuantize,
                  ProductResidualVectorQuantize)
 from .losses import MelSpectrogramLoss, ComplexSTFTLoss
+from .gan_loss import GANLoss, discriminator_loss, generator_loss
 from .convolution import ConvolutionLayer, Convolution2D
 
 __all__ = [
@@ -13,5 +14,6 @@ __all__ = [
     "Codebook", "ProductVectorQuantize", "ResidualVectorQuantize",
     "ProductResidualVectorQuantize",
     "MelSpectrogramLoss", "ComplexSTFTLoss",
+    "GANLoss", "discriminator_loss", "generator_loss",
     "ConvolutionLayer", "Convolution2D",
 ]

@@ -1,0 +1,52 @@
+"""Batch evaluation sweep (mirrors scripts/test.py:22-55).
+
+``eval_epoch`` runs the full codec forward at one or all bitrates over a
+loader, collecting PESQ / Mel-Distance / SI-SDR per utterance plus the
+codebook-entropy counter, and returns the same ``all_perf`` dict layout
+as the reference (metric -> list over bitrates).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..metrics import EntropyCounter
+
+__all__ = ["eval_epoch"]
+
+
+def eval_epoch(model, eval_loader, metric_funcs: Dict,
+               e_counter: EntropyCounter, bps_per_stream: float = 1.5,
+               num_streams: Optional[int] = None, verbose: bool = True):
+    """Evaluate ``model`` (a codec wrapper) over ``eval_loader``.
+
+    num_streams=None sweeps s = 1..max_streams (1.5 -> 9 kbps), matching
+    scripts/test.py:30-31.
+    """
+    all_perf = {k: [] for k in metric_funcs}
+    all_perf["utilization"] = []
+    eval_range = (range(num_streams, num_streams + 1)
+                  if num_streams is not None
+                  else range(1, model.max_streams + 1))
+    for s in eval_range:
+        perf = {k: [] for k in metric_funcs}
+        e_counter.reset_stats(num_streams=s)
+        for x in eval_loader:
+            out = model(x, None, num_streams=s)
+            recon = np.asarray(out["recon_audio"])
+            codes = np.asarray(out["codes"])
+            for k, fn in metric_funcs.items():
+                perf[k].extend(np.asarray(fn(x, recon)).tolist())
+            e_counter.update(codes)
+        for k, v in perf.items():
+            all_perf[k].append(round(float(np.nanmean(v)), 4))
+        rate, _ = e_counter.compute_utilization()
+        all_perf["utilization"].append(rate)
+        if verbose:
+            print(f"Test Metrics at {s * bps_per_stream:.2f}kbps: ", end="")
+            print(" | ".join(f"{k}: {np.nanmean(v):.4f}"
+                             for k, v in perf.items()),
+                  f"| utilization: {rate:.4f}")
+    return all_perf
