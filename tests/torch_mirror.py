@@ -1,0 +1,415 @@
+"""Compact PyTorch mirror of the reference ESC semantics — TEST FIXTURE.
+
+The real reference (/root/reference) cannot be imported in this image
+(torchaudio/timm are absent), so golden-value parity tests build this
+minimal torch implementation of the same math (cited per class below),
+generate a state_dict with the reference's key layout, convert it with
+esc_tpu.convert.torch_to_flax, and require bit-exact codes / tolerance-
+level waveforms from the JAX model.
+
+Only the transformer backbone + product-VQ path (the ESC flagship) is
+mirrored; shapes/semantics follow esc/models/* and esc/modules/* as
+cited. This file is test-only and is NOT part of the framework.
+"""
+
+from __future__ import annotations
+
+import math
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+
+# ---------------------------------------------------------------- signal
+def stft(x, in_freq=192):
+    """torchaudio Spectrogram(power=None) equivalent (base.py:22-37)."""
+    n_fft = (in_freq - 1) * 2
+    w = torch.hann_window(320, dtype=torch.float32)
+    s = torch.stft(x, n_fft=n_fft, hop_length=80, win_length=320, window=w,
+                   center=True, pad_mode="reflect", return_complex=True)
+    return torch.view_as_real(s).permute(0, 3, 1, 2).contiguous()
+
+
+def istft(feat, in_freq=192):
+    """InverseSpectrogram equivalent (base.py:39-47)."""
+    n_fft = (in_freq - 1) * 2
+    w = torch.hann_window(320, dtype=torch.float32)
+    cplx = torch.view_as_complex(
+        feat.permute(0, 2, 3, 1).contiguous())
+    return torch.istft(cplx, n_fft=n_fft, hop_length=80, win_length=320,
+                       window=w, center=True)
+
+
+# ------------------------------------------------------------- scale ops
+def px_unshuffle(x, s1=2, s2=1):
+    B, H, W, C = x.shape
+    return x.reshape(B, H // s1, s1, W // s2, s2, C).permute(
+        0, 1, 3, 2, 4, 5).reshape(B, H // s1, W // s2, C * s1 * s2)
+
+
+def px_shuffle(x, s1=2, s2=1):
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W, s1, s2, C // (s1 * s2)).permute(
+        0, 1, 3, 2, 4, 5).reshape(B, H * s1, W * s2, C // (s1 * s2))
+
+
+class PatchEmbed(nn.Module):  # scale.py:26-50
+    def __init__(self, freq, in_chans, patch, dim):
+        super().__init__()
+        self.proj = nn.Conv2d(in_chans, dim, patch, patch)
+        self.norm = nn.LayerNorm(dim)
+
+    def forward(self, x):
+        x = self.proj(x)
+        B, C, H, W = x.shape
+        return self.norm(x.flatten(2).transpose(1, 2))
+
+
+class PatchDeEmbed(nn.Module):  # scale.py:52-81
+    def __init__(self, freq, in_chans, patch, dim):
+        super().__init__()
+        self.patch = patch
+        self.H = freq // patch[0]
+        self.de_proj1 = nn.Conv2d(dim, dim * patch[0] * patch[1], 5, 1, 2)
+        self.de_proj2 = nn.Conv2d(dim, in_chans, 3, 1, 1)
+
+    def forward(self, x):
+        B, L, C = x.shape
+        x = x.transpose(1, 2).reshape(B, C, self.H, L // self.H)
+        x = self.de_proj1(x)
+        x = px_shuffle(x.permute(0, 2, 3, 1), *self.patch)
+        return self.de_proj2(x.permute(0, 3, 1, 2))
+
+
+class PatchMerge(nn.Module):  # scale.py:83-115
+    def __init__(self, in_dim, out_dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(2 * in_dim)
+        self.down = nn.Linear(2 * in_dim, out_dim, bias=False)
+
+    def forward(self, x, H):
+        B, L, C = x.shape
+        x = x.reshape(B, H, L // H, C)
+        if H % 2:
+            x = F.pad(x, (0, 0, 0, 0, 0, 1))
+        x = px_unshuffle(x, 2, 1).reshape(B, -1, 2 * C)
+        return self.down(self.norm(x))
+
+
+class PatchSplit(nn.Module):  # scale.py:117-145
+    def __init__(self, in_dim, out_dim):
+        super().__init__()
+        self.norm = nn.LayerNorm(in_dim)
+        self.up = nn.Linear(in_dim, out_dim * 2, bias=False)
+
+    def forward(self, x, H):
+        x = self.up(self.norm(x))
+        B, L, C = x.shape
+        x = x.reshape(B, H, L // H, C)
+        return px_shuffle(x, 2, 1).reshape(B, -1, C // 2)
+
+
+# ------------------------------------------------------------- attention
+def win_part(x, ws):  # attention.py:246-250
+    B, H, W, C = x.shape
+    return x.reshape(B, H // ws, ws, W // ws, ws, C).permute(
+        0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+
+
+def win_rev(w, ws, H, W):  # attention.py:252-256
+    B = w.shape[0] // (H * W // ws // ws)
+    return w.reshape(B, H // ws, W // ws, ws, ws, -1).permute(
+        0, 1, 3, 2, 4, 5).reshape(B, H, W, -1)
+
+
+class WindowAttention(nn.Module):  # attention.py:180-244
+    def __init__(self, dim, ws, heads):
+        super().__init__()
+        self.ws, self.heads = ws, heads
+        self.scale = (dim // heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * ws - 1) ** 2, heads))
+        c = torch.stack(torch.meshgrid(torch.arange(ws), torch.arange(ws),
+                                       indexing="ij")).flatten(1)
+        rel = (c[:, :, None] - c[:, None, :]).permute(1, 2, 0)
+        rel[:, :, 0] += ws - 1
+        rel[:, :, 1] += ws - 1
+        rel[:, :, 0] *= 2 * ws - 1
+        self.register_buffer("relative_position_index", rel.sum(-1))
+        self.qkv = nn.Linear(dim, 3 * dim, bias=True)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, mask=None):
+        B_, N, C = x.shape
+        qkv = self.qkv(x).reshape(B_, N, 3, self.heads, C // self.heads)
+        q, k, v = qkv.permute(2, 0, 3, 1, 4).unbind(0)
+        attn = (q * self.scale) @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.reshape(-1)].reshape(N, N, -1)
+        attn = attn + bias.permute(2, 0, 1)[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, self.heads, N, N) \
+                + mask[None, :, None]
+            attn = attn.reshape(-1, self.heads, N, N)
+        x = (attn.softmax(-1) @ v).transpose(1, 2).reshape(B_, N, C)
+        return self.proj(x)
+
+
+class FeedForward(nn.Module):  # attention.py:258-272
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.linear_1 = nn.Linear(dim, hidden)
+        self.linear_2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.linear_2(F.gelu(self.linear_1(x)))
+
+
+class SwinBlock(nn.Module):  # attention.py:93-178
+    def __init__(self, dim, heads, ws, shift, mlp_ratio):
+        super().__init__()
+        self.ws, self.shift = ws, shift
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = WindowAttention(dim, ws, heads)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = FeedForward(dim, int(dim * mlp_ratio))
+
+    def forward(self, x, H, W, mask):
+        B, L, C = x.shape
+        short = x
+        x = self.norm1(x).reshape(B, H, W, C)
+        pr = (self.ws - W % self.ws) % self.ws
+        pb = (self.ws - H % self.ws) % self.ws
+        x = F.pad(x, (0, 0, 0, pr, 0, pb))
+        Hp, Wp = H + pb, W + pr
+        if self.shift:
+            x = torch.roll(x, (-self.shift, -self.shift), (1, 2))
+        w = win_part(x, self.ws).reshape(-1, self.ws * self.ws, C)
+        w = self.attn(w, mask if self.shift else None)
+        x = win_rev(w.reshape(-1, self.ws, self.ws, C), self.ws, Hp, Wp)
+        if self.shift:
+            x = torch.roll(x, (self.shift, self.shift), (1, 2))
+        x = x[:, :H, :W].reshape(B, L, C)
+        x = short + x
+        return x + self.mlp(self.norm2(x))
+
+
+class TransformerLayer(nn.Module):  # attention.py:9-91
+    def __init__(self, in_dim, out_dim, heads, depth, ws, mlp_ratio, scale):
+        super().__init__()
+        self.ws = ws
+        self.shift = ws // 2
+        self.swint_blocks = nn.ModuleList([
+            SwinBlock(in_dim, heads, ws, 0 if i % 2 == 0 else ws // 2,
+                      mlp_ratio) for i in range(depth)])
+        self.subsample = (PatchMerge(in_dim, out_dim) if scale == "down"
+                          else PatchSplit(in_dim, out_dim) if scale == "up"
+                          else None)
+        self.scale = scale
+
+    def _mask(self, H, W, dev):
+        ws, ss = self.ws, self.shift
+        Hp = math.ceil(H / ws) * ws
+        Wp = math.ceil(W / ws) * ws
+        img = torch.zeros(1, Hp, Wp, 1, device=dev)
+        sl = (slice(0, -ws), slice(-ws, -ss), slice(-ss, None))
+        cnt = 0
+        for h in sl:
+            for w in sl:
+                img[:, h, w] = cnt
+                cnt += 1
+        mw = win_part(img, ws).reshape(-1, ws * ws)
+        am = mw.unsqueeze(1) - mw.unsqueeze(2)
+        return am.masked_fill(am != 0, -100.0)
+
+    def forward(self, x, H, W):
+        mask = self._mask(H, W, x.device)
+        for blk in self.swint_blocks:
+            x = blk(x, H, W, mask)
+        if self.scale == "down":
+            return self.subsample(x, H), (H + 1) // 2, W
+        if self.scale == "up":
+            return self.subsample(x, H), H * 2, W
+        return x, H, W
+
+
+# ------------------------------------------------------------------- VQ
+class Codebook(nn.Module):  # codebook.py:5-83
+    def __init__(self, dim, num, l2norm):
+        super().__init__()
+        self.embedding = nn.Embedding(num, dim)
+        nn.init.kaiming_normal_(self.embedding.weight)
+        self.l2norm = l2norm
+
+    def encode(self, z):
+        cb = self.embedding.weight
+        zf = z.reshape(-1, z.shape[-1])
+        if self.l2norm:
+            cb = F.normalize(cb, dim=-1)
+            zf = F.normalize(zf, dim=-1)
+        d = (zf.pow(2).sum(1, keepdim=True) - 2 * zf @ cb.t()
+             + cb.pow(2).sum(1, keepdim=True).t())
+        return d.min(1).indices.reshape(z.shape[0], -1)
+
+    def decode(self, code):
+        return F.embedding(code, self.embedding.weight)
+
+
+class ProductVQ(nn.Module):  # quantization.py:7-136
+    def __init__(self, in_dim, in_freq, overlap, num_vqs, cb_dim, cb_size,
+                 l2norm):
+        super().__init__()
+        self.in_freq, self.overlap = in_freq, overlap
+        self.fix_dim = in_freq * in_dim
+        total = self.fix_dim * overlap
+        if total % num_vqs == 0:  # quantization.py:380-386
+            self.dims = [total // num_vqs] * num_vqs
+        else:
+            self.dims = [total // num_vqs] * (num_vqs - 1)
+            self.dims.append(total - sum(self.dims))
+        self.vqs = nn.ModuleList(
+            [Codebook(cb_dim, cb_size, l2norm) for _ in self.dims])
+        self.down_projs = nn.ModuleList(
+            [nn.Linear(d, cb_dim, bias=False) for d in self.dims])
+        self.up_projs = nn.ModuleList(
+            [nn.Linear(cb_dim, d, bias=False) for d in self.dims])
+
+    def _pre(self, z):  # quantization.py:388-410
+        B, L, C = z.shape
+        H = self.in_freq
+        z = z.reshape(B, H, L // H, C).permute(0, 2, 3, 1).reshape(
+            B, L // H, self.fix_dim)
+        if self.overlap > 1:
+            z = z.reshape(B, -1, self.overlap * self.fix_dim)
+        return z
+
+    def _post(self, z):  # quantization.py:412-432
+        B = z.shape[0]
+        if self.overlap > 1:
+            z = z.reshape(B, -1, self.fix_dim)
+        W = z.shape[1]
+        H = self.in_freq
+        z = z.reshape(B, W, -1, H).permute(0, 3, 1, 2)
+        return z.reshape(B, H * W, -1)
+
+    def encode(self, z):
+        z = self._pre(z)
+        codes, s = [], 0
+        for m, (dp, vq) in enumerate(zip(self.down_projs, self.vqs)):
+            codes.append(vq.encode(dp(z[..., s:s + self.dims[m]])))
+            s += self.dims[m]
+        return torch.stack(codes, 1)
+
+    def decode(self, codes):
+        zq = [up(vq.decode(codes[:, m]))
+              for m, (up, vq) in enumerate(zip(self.up_projs, self.vqs))]
+        return self._post(torch.cat(zq, -1))
+
+
+# ---------------------------------------------------------------- codec
+class Encoder(nn.Module):  # base.py:110-158
+    def __init__(self, cfg):
+        super().__init__()
+        h = cfg["h_dims"]
+        self.patch_embed = PatchEmbed(cfg["in_freq"], cfg["in_dim"],
+                                      tuple(cfg["patch_size"]), h[0])
+        self.pre_nn = TransformerLayer(h[0], h[0], cfg["swin_heads"][0],
+                                       cfg["swin_depth"], cfg["window_size"],
+                                       cfg["mlp_ratio"], None)
+        self.blocks = nn.ModuleList([
+            TransformerLayer(h[i], h[i + 1], cfg["swin_heads"][i],
+                             cfg["swin_depth"], cfg["window_size"],
+                             cfg["mlp_ratio"], "down")
+            for i in range(len(h) - 1)])
+        self.patch = cfg["patch_size"]
+
+    def forward(self, feat):
+        H, W = feat.shape[2] // self.patch[0], feat.shape[3] // self.patch[1]
+        x = self.patch_embed(feat)
+        x, H, W = self.pre_nn(x, H, W)
+        hs = [x]
+        for blk in self.blocks:
+            x, H, W = blk(x, H, W)
+            hs.append(x)
+        return hs, (H, W)
+
+
+class CSRVQDecoder(nn.Module):  # csrvq.py:63-183
+    def __init__(self, cfg):
+        super().__init__()
+        h = cfg["h_dims"][::-1]
+        heads = cfg["swin_heads"][::-1]
+        self.blocks = nn.ModuleList([
+            TransformerLayer(h[i], h[i + 1], heads[i], cfg["swin_depth"],
+                             cfg["window_size"], cfg["mlp_ratio"], "up")
+            for i in range(len(h) - 1)])
+        self.post_nn = TransformerLayer(h[-1], h[-1], heads[-1],
+                                        cfg["swin_depth"],
+                                        cfg["window_size"],
+                                        cfg["mlp_ratio"], None)
+        self.patch_deembed = PatchDeEmbed(cfg["in_freq"], cfg["in_dim"],
+                                          tuple(cfg["patch_size"]), h[-1])
+
+    def encode(self, hs, s, qs, shape):  # csrvq.py:131-158
+        H, W = shape
+        code0 = qs[0].encode(hs[-1])
+        if s == 1:
+            return code0.unsqueeze(1)
+        dec = qs[0].decode(code0)
+        codes = [code0]
+        for i in range(s - 1):
+            ci = qs[i + 1].encode(hs[-1 - i] - dec)
+            codes.append(ci)
+            if len(codes) == s:
+                break
+            dec = qs[i + 1].decode(ci) + dec
+            dec, H, W = self.blocks[i](dec, H, W)
+        return torch.stack(codes, 1)
+
+    def decode(self, codes, qs, shape):  # csrvq.py:160-183
+        H, W = shape
+        s = codes.shape[1]
+        dec = qs[0].decode(codes[:, 0])
+        for i in range(len(self.blocks)):
+            if i < s - 1:
+                dec = qs[i + 1].decode(codes[:, i + 1]) + dec
+            dec, H, W = self.blocks[i](dec, H, W)
+        dec, H, W = self.post_nn(dec, H, W)
+        return self.patch_deembed(dec)
+
+
+class ESCMirror(nn.Module):
+    """Minimal reference-equivalent ESC: encode/decode only."""
+
+    def __init__(self, **cfg):
+        super().__init__()
+        self.cfg = cfg
+        h = cfg["h_dims"]
+        dec_h = h[::-1]
+        Hb = cfg["in_freq"] // cfg["patch_size"][0]
+        ms = cfg["max_streams"]
+        qs = [ProductVQ(dec_h[0], Hb // 2 ** (ms - 1), cfg["overlap"],
+                        cfg["group_size"], cfg["codebook_dims"][0],
+                        cfg["codebook_size"], cfg["l2norm"])]
+        for i in range(1, ms):
+            qs.append(ProductVQ(dec_h[i - 1], Hb // 2 ** (ms - i),
+                                cfg["overlap"], cfg["group_size"],
+                                cfg["codebook_dims"][i],
+                                cfg["codebook_size"], cfg["l2norm"]))
+        self.quantizers = nn.ModuleList(qs)
+        self.encoder = Encoder(cfg)
+        self.decoder = CSRVQDecoder(cfg)
+
+    @torch.no_grad()
+    def encode(self, x, num_streams):
+        feat = stft(x, self.cfg["in_freq"])
+        hs, shape = self.encoder(feat)
+        return self.decoder.encode(hs, num_streams, self.quantizers,
+                                   shape), shape
+
+    @torch.no_grad()
+    def decode(self, codes, shape):
+        feat = self.decoder.decode(codes, self.quantizers, shape)
+        return istft(feat, self.cfg["in_freq"])
