@@ -101,7 +101,14 @@ class Codebook(nn.Module):
             (self.num_embeddings, self.embedding_dim))
 
     def quantize_to_code(self, z_e: jnp.ndarray) -> jnp.ndarray:
-        """(B, T, d) -> int32 codes (B, T) by L2/cosine nearest neighbor."""
+        """(B, T, d) -> int32 codes (B, T) by L2/cosine nearest neighbor.
+
+        The distance search runs as the Pallas tiled matmul + top-1
+        kernel on TPU (esc_tpu/ops/pallas/vq_kernels.py) and the
+        identical jnp expression elsewhere.
+        """
+        from ..ops.pallas.vq_kernels import codebook_argmin
+
         B = z_e.shape[0]
         codebook = self.embedding.astype(jnp.float32)
         z = z_e.astype(jnp.float32).reshape(-1, self.embedding_dim)
@@ -109,14 +116,7 @@ class Codebook(nn.Module):
             codebook = codebook / jnp.linalg.norm(
                 codebook, axis=-1, keepdims=True).clip(1e-12)
             z = z / jnp.linalg.norm(z, axis=-1, keepdims=True).clip(1e-12)
-        dist = (
-            jnp.sum(z * z, axis=1, keepdims=True)
-            - 2.0 * jnp.dot(z, codebook.T,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            + jnp.sum(codebook * codebook, axis=1)[None, :]
-        )
-        codes = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        codes = codebook_argmin(z, codebook)
         return codes.reshape(B, -1)
 
     def dequantize_code(self, code: jnp.ndarray) -> jnp.ndarray:
