@@ -1,0 +1,73 @@
+"""Tracing / profiling utilities (SURVEY §5: absent in the reference).
+
+- ``trace(logdir)``: context manager around ``jax.profiler`` — produces a
+  TensorBoard-viewable XLA trace of everything run inside.
+- ``StepTimer``: wall-clock per-step timing with EMA + percentile summary,
+  used by the trainers' logs.
+- ``annotate(name)``: TraceAnnotation passthrough for labeling host-side
+  phases inside a trace.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["trace", "StepTimer", "annotate"]
+
+
+@contextlib.contextmanager
+def trace(logdir: str, create_perfetto_link: bool = False):
+    """Capture a device+host profiler trace into ``logdir``."""
+    jax.profiler.start_trace(logdir,
+                             create_perfetto_link=create_perfetto_link)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Label a host-side region inside an active trace."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Lightweight per-step wall-clock tracker.
+
+    Call :meth:`tic` before dispatch and :meth:`toc` after the step's
+    outputs are ready (block_until_ready). ``summary()`` reports mean /
+    p50 / p95 over the retained window, excluding warmup steps.
+    """
+
+    def __init__(self, window: int = 512, warmup: int = 2):
+        self.window = window
+        self.warmup = warmup
+        self._times: List[float] = []
+        self._t0: Optional[float] = None
+        self._count = 0
+
+    def tic(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def toc(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup:
+            self._times.append(dt)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        if not self._times:
+            return {}
+        t = np.asarray(self._times)
+        return {"step_time_mean_s": float(t.mean()),
+                "step_time_p50_s": float(np.percentile(t, 50)),
+                "step_time_p95_s": float(np.percentile(t, 95)),
+                "steps_per_s": float(1.0 / t.mean())}
