@@ -100,12 +100,14 @@ class Codebook(nn.Module):
             "embedding", _kaiming_normal_rows,
             (self.num_embeddings, self.embedding_dim))
 
-    def quantize_to_code(self, z_e: jnp.ndarray) -> jnp.ndarray:
+    def quantize_to_code(self, z_e: jnp.ndarray,
+                         training: bool = False) -> jnp.ndarray:
         """(B, T, d) -> int32 codes (B, T) by L2/cosine nearest neighbor.
 
-        The distance search runs as the Pallas tiled matmul + top-1
-        kernel on TPU (esc_tpu/ops/pallas/vq_kernels.py) and the
-        identical jnp expression elsewhere.
+        Inference runs the Pallas tiled matmul + top-1 kernel on TPU
+        (esc_tpu/ops/pallas/vq_kernels.py); training (and non-TPU
+        backends) run the numerically identical jnp expression, which
+        composes with autodiff.
         """
         from ..ops.pallas.vq_kernels import codebook_argmin
 
@@ -116,7 +118,8 @@ class Codebook(nn.Module):
             codebook = codebook / jnp.linalg.norm(
                 codebook, axis=-1, keepdims=True).clip(1e-12)
             z = z / jnp.linalg.norm(z, axis=-1, keepdims=True).clip(1e-12)
-        codes = codebook_argmin(z, codebook)
+        codes = codebook_argmin(z, codebook,
+                                use_pallas=False if training else None)
         return codes.reshape(B, -1)
 
     def dequantize_code(self, code: jnp.ndarray) -> jnp.ndarray:
@@ -126,7 +129,7 @@ class Codebook(nn.Module):
     def __call__(self, z_e: jnp.ndarray, training: bool = False):
         """Returns (z_q, code, codebook_loss, commitment_loss); losses are
         per-sample ``(B,)`` (codebook.py:57-75)."""
-        code = self.quantize_to_code(z_e)
+        code = self.quantize_to_code(z_e, training=training)
         z_q = self.dequantize_code(code)
         if training:
             sg = jax.lax.stop_gradient

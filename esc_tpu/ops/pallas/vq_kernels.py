@@ -100,5 +100,10 @@ def codebook_argmin(z: jnp.ndarray, codebook: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas or interpret:
+        # int codes carry no gradient (the straight-through estimator
+        # routes grads around the lookup); stop_gradient keeps autodiff
+        # from trying to linearize through the pallas_call.
+        z = jax.lax.stop_gradient(z)
+        codebook = jax.lax.stop_gradient(codebook)
         return _pallas_argmin(z, codebook, interpret=interpret)
     return _jnp_argmin(z, codebook)
