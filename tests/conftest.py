@@ -8,6 +8,11 @@ backend is initialized.
 
 import os
 
+# Hermetic tests: never load persistent-cache AOT code (it may have been
+# compiled by a different host CPU in the pool — cpu_aot_loader then
+# warns about mismatched machine features and numerics can drift).
+os.environ["ESC_TPU_NO_COMPILE_CACHE"] = "1"
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
