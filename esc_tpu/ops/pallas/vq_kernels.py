@@ -98,7 +98,12 @@ def codebook_argmin(z: jnp.ndarray, codebook: jnp.ndarray,
     z = z.astype(jnp.float32)
     codebook = codebook.astype(jnp.float32)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        import os
+        env = os.environ.get("ESC_TPU_PALLAS")
+        if env is not None:
+            use_pallas = env not in ("0", "false", "")
+        else:
+            use_pallas = jax.default_backend() == "tpu"
     if use_pallas or interpret:
         # int codes carry no gradient (the straight-through estimator
         # routes grads around the lookup); stop_gradient keeps autodiff
