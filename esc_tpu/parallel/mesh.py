@@ -33,6 +33,26 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host SPMD bring-up.
+
+    On a multi-host TPU pod slice, call once per host before building a
+    mesh; ``jax.devices()`` then spans every chip in the slice, and the
+    same DP mesh/shardings work unchanged — XLA routes the gradient psum
+    over ICI within hosts and DCN across them. No-op on single host.
+    Returns the process count.
+    """
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    elif coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+    return jax.process_count()
+
+
 def process_is_main() -> bool:
     """Host-0 gating (maps the reference's accel.is_main_process)."""
     return jax.process_index() == 0

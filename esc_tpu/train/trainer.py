@@ -169,6 +169,16 @@ class Trainer:
         opt_state = self.tx.init(params)
         self.best_perf, self.start_step = -1.0, 0
 
+        # Preemption-safe auto-resume (gap-fill over the reference, whose
+        # restarts are manual via --pretrain_ckp, SURVEY §5): --resume
+        # restores the rolling checkpoint.ckpt if one exists.
+        if getattr(args, "resume", False):
+            import os
+            rolling = (f"{args.save_path}/{args.exp_name}/checkpoint.ckpt"
+                       if getattr(args, "save_path", None) else None)
+            if rolling and os.path.exists(rolling):
+                self._load_resume(rolling, model)
+                params = model.variables["params"]
         if getattr(args, "pretrain_ckp", None):
             self._load_resume(args.pretrain_ckp, model)
             params = model.variables["params"]
@@ -261,6 +271,8 @@ class Trainer:
             scheduler_state={"type": self.args.scheduler_type, "step": step},
             best_perf=self.best_perf)
         self.print0(f"[Step {step + 1}] | checkpoint saved as {tag}")
+
+    _resumed_opt_state = None
 
     def _load_resume(self, path, model):
         from ..checkpoint import restore_into

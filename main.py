@@ -29,6 +29,8 @@ def parse_args_config():
     parser.add_argument("--dropout_rate", type=float, default=1.0)
     parser.add_argument("--adv_training", default=False, action="store_true")
     parser.add_argument("--pretrain_ckp", type=str, default=None)
+    parser.add_argument("--resume", default=False, action="store_true",
+                        help="auto-resume from the rolling checkpoint")
     parser.add_argument("--log_steps", default=5, type=int)
     parser.add_argument("--save_path", default="./output", type=str)
     parser.add_argument("--config_path", default="./configs/9kbps_esc_base.yaml")
