@@ -78,6 +78,17 @@ def test_forward_outputs(tiny_model, rng):
     assert out["cb_loss"].shape == (2,)
 
 
+def test_param_count_large_matches_reference():
+    # ESC-Large is 15.58M params (README.md:65): exact value 15,580,931
+    # with configs/9kbps_esc_large.yaml (swin_depth 4, codebook_dims all 8).
+    from esc_tpu.models import make_model
+    from esc_tpu.utils import read_yaml
+    cfg = read_yaml("configs/9kbps_esc_large.yaml")
+    m = make_model(cfg["model"], cfg["model_name"])
+    m.init_params(example_len=4720)
+    assert m.num_params() == 15580931, m.num_params()
+
+
 def test_max_bps(tiny_model):
     assert tiny_model.max_bps == 9.0 or TINY_CONFIG["codebook_size"] != 1024
     m = ESC(**BASE_CONFIG)
