@@ -37,14 +37,12 @@ def main():
     rng = np.random.default_rng(53)
     x = rng.standard_normal((B, L)).astype(np.float32)
 
-    # Warmup / compile both directions.
-    codes, feat_shape = model.encode(x, num_streams=num_streams)
-    recon = model.decode(codes, feat_shape)
+    # Warmup / compile the fused single-dispatch roundtrip.
+    codes, feat_shape, recon = model.roundtrip(x, num_streams=num_streams)
     jax.block_until_ready(recon)
 
     def roundtrip():
-        c, fs = model.encode(x, num_streams=num_streams)
-        r = model.decode(c, fs)
+        c, fs, r = model.roundtrip(x, num_streams=num_streams)
         jax.block_until_ready(r)
         return r
 

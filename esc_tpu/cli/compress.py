@@ -72,8 +72,9 @@ def main(args):
     x = load_wav(args.input)[None, :]
     model = load_model(args.model_path)
 
-    codes, feat_shape = model.encode(x, num_streams=args.num_streams)
-    recon = model.decode(codes, feat_shape)
+    # fused single-dispatch encode+decode
+    codes, feat_shape, recon = model.roundtrip(x,
+                                               num_streams=args.num_streams)
 
     fname = os.path.basename(args.input)
     stem = fname.rsplit(".", 1)[0]

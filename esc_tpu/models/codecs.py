@@ -263,8 +263,15 @@ class _CodecWrapper:
             return mod.apply(variables, x, x_feat, num_streams,
                              freeze_codebook, False)
 
-        self._encode_fn, self._decode_fn, self._forward_fn = \
-            _encode, _decode, _forward
+        @functools.partial(jax.jit,
+                           static_argnames=("num_streams", "feat_shape"))
+        def _roundtrip(variables, x, num_streams, feat_shape):
+            codes = mod.apply(variables, x, num_streams, method="encode")
+            recon = mod.apply(variables, codes, feat_shape, method="decode")
+            return codes, recon
+
+        self._encode_fn, self._decode_fn, self._forward_fn, \
+            self._roundtrip_fn = _encode, _decode, _forward, _roundtrip
 
     # -- variables ------------------------------------------------------
 
@@ -343,6 +350,18 @@ class _CodecWrapper:
         self._ensure_init()
         return self._decode_fn(self.variables, jnp.asarray(codes),
                                tuple(feat_shape))
+
+    def roundtrip(self, x, num_streams: int = 6):
+        """Waveform -> (codes, feat_shape, reconstruction) in ONE device
+        dispatch — encode+decode fused into a single compiled program
+        (halves the host-dispatch overhead of calling them separately)."""
+        self._check_streams(num_streams)
+        self._ensure_init()
+        x = jnp.asarray(x)
+        fs = self.feat_shape(x.shape[-1])
+        codes, recon = self._roundtrip_fn(self.variables, x, num_streams,
+                                          fs)
+        return codes, fs, recon
 
     def print_codec(self):
         """Mirror of BaseAudioCodec.print_codec (esc/models/base.py:86-107)."""

@@ -68,6 +68,18 @@ def test_forward_matches_encode_decode(tiny_model, rng):
                                np.asarray(recon), atol=1e-5)
 
 
+def test_roundtrip_matches_encode_decode(tiny_model, rng):
+    # the fused single-dispatch roundtrip must equal encode->decode
+    x = rng.standard_normal((1, L)).astype(np.float32)
+    codes, fs, recon = tiny_model.roundtrip(x, num_streams=4)
+    codes2, fs2 = tiny_model.encode(x, num_streams=4)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes2))
+    assert fs == fs2
+    recon2 = tiny_model.decode(codes2, fs2)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(recon2),
+                               atol=1e-6)
+
+
 def test_forward_outputs(tiny_model, rng):
     x = rng.standard_normal((2, L)).astype(np.float32)
     out = tiny_model(x, None, num_streams=6)
