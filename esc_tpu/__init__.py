@@ -27,3 +27,12 @@ if not _os.environ.get("ESC_TPU_NO_COMPILE_CACHE"):
             _os.path.join(_os.path.expanduser("~"), ".cache",
                           "esc_tpu_jax")))
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# Full-fp32 matmuls by default: TPU otherwise lowers fp32 dots to bf16
+# passes, which flips near-tie codebook assignments (breaking cross-
+# platform code parity) — and measures FASTER for this model's small
+# contractions. Override via JAX_DEFAULT_MATMUL_PRECISION.
+if "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ:
+    import jax as _jax2
+
+    _jax2.config.update("jax_default_matmul_precision", "highest")

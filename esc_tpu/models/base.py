@@ -97,10 +97,10 @@ class Encoder(nn.Module):
                 enc_hs.append(x)
             return enc_hs, (H, W)
 
-        x, H, W = self.pre_nn(x, H, W)
+        x, H, W = self.pre_nn(x, H, W, training)
         enc_hs = [x]
         for blk in self.blocks:
-            x, H, W = blk(x, H, W)
+            x, H, W = blk(x, H, W, training)
             enc_hs.append(x)
         return enc_hs, (H, W)
 
@@ -165,7 +165,7 @@ class Decoder(nn.Module):
             out = self.patch_deembed(z_q)           # (B, F, T, 2)
         else:
             for blk in self.blocks:
-                z_q, H, W = blk(z_q, H, W)
-            z_q, H, W = self.post_nn(z_q, H, W)
+                z_q, H, W = blk(z_q, H, W, training)
+            z_q, H, W = self.post_nn(z_q, H, W, training)
             out = self.patch_deembed(z_q)           # (B, F, T, 2)
         return out.transpose(0, 3, 1, 2)            # (B, 2, F, T)

@@ -139,7 +139,7 @@ class CrossScaleRVQDecoder(nn.Module):
         if self.backbone == "convolution":
             x = self.blocks[i](x, training)
             return x, (H * 2, W)
-        x, H, W = self.blocks[i](x, H, W)
+        x, H, W = self.blocks[i](x, H, W, training)
         return x, (H, W)
 
     def _finish(self, x, feat_shape, training):
@@ -147,7 +147,7 @@ class CrossScaleRVQDecoder(nn.Module):
         if self.backbone == "convolution":
             x = self.post_nn(x)
         else:
-            x, H, W = self.post_nn(x, H, W)
+            x, H, W = self.post_nn(x, H, W, training)
         out = self.patch_deembed(x)        # (B, F, T, 2)
         return out.transpose(0, 3, 1, 2)   # (B, 2, F, T)
 

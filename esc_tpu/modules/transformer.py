@@ -103,7 +103,8 @@ class WindowAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 mask: Optional[np.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[np.ndarray] = None,
+                 training: bool = False) -> jnp.ndarray:
         """x: (B_, N, C) windows; mask: static (nW, N, N) or None."""
         B_, N, C = x.shape
         nh = self.num_heads
@@ -121,22 +122,40 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv",
                        dtype=self.dtype)(x)
-        qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn + rel_bias[None].astype(attn.dtype)
-        if mask is not None:
-            nW = mask.shape[0]
-            m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, N, N)
-            attn = attn.reshape(B_ // nW, nW, nh, N, N) + m
-            attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # Fused kernel only where the window count is large enough to pay
+        # (top scales); fewer pallas_calls also keeps the whole-codec
+        # program within the AOT compile helper's resource limits.
+        use_fused = (not training and jax.default_backend() == "tpu"
+                     and self.dtype == jnp.float32 and B_ >= 2048)
+        if use_fused:
+            # fused Pallas path: softmax + both batched matmuls stay in
+            # VMEM (esc_tpu/ops/pallas/attention_kernels.py)
+            from ..ops.pallas.attention_kernels import fused_window_attention
 
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # (B_, N, C) each
+            m = None
+            if mask is not None:
+                nW = mask.shape[0]
+                m = jnp.tile(jnp.asarray(mask), (B_ // nW, 1, 1))
+            out = fused_window_attention(q, k, v, rel_bias, m,
+                                         num_heads=nh, scale=scale)
+        else:
+            qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + rel_bias[None].astype(attn.dtype)
+            if mask is not None:
+                nW = mask.shape[0]
+                m = jnp.asarray(mask)[None, :, None]  # (1, nW, 1, N, N)
+                attn = attn.reshape(B_ // nW, nW, nh, N, N) + m
+                attn = attn.reshape(B_, nh, N, N)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        out = out.astype(self.dtype)
         return nn.Dense(C, name="proj", dtype=self.dtype)(out)
 
 
@@ -172,7 +191,8 @@ class SwinBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, H: int, W: int,
+                 training: bool = False) -> jnp.ndarray:
         B, L, C = x.shape
         ws, ss = self.window_size, self.shift_size
         shortcut = x
@@ -192,7 +212,7 @@ class SwinBlock(nn.Module):
         windows = window_partition(x, ws).reshape(-1, ws * ws, C)
         attn = WindowAttention(C, (ws, ws), self.num_heads, self.qkv_bias,
                                self.qk_scale, dtype=self.dtype,
-                               name="attn")(windows, mask)
+                               name="attn")(windows, mask, training)
         attn = attn.reshape(-1, ws, ws, C)
         x = window_reverse(attn, ws, Hp, Wp)
 
@@ -228,7 +248,8 @@ class TransformerLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, H: int, W: int):
+    def __call__(self, x: jnp.ndarray, H: int, W: int,
+                 training: bool = False):
         for i in range(self.depth):
             x = SwinBlock(
                 d_model=self.in_dim, num_heads=self.num_heads,
@@ -236,7 +257,7 @@ class TransformerLayer(nn.Module):
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, qkv_bias=self.qkv_bias,
                 qk_scale=self.qk_scale, dtype=self.dtype,
-                name=f"swint_blocks_{i}")(x, H, W)
+                name=f"swint_blocks_{i}")(x, H, W, training)
 
         if self.scale == "down":
             x = PatchMerge(self.in_dim, self.out_dim, tuple(self.scale_factor),
