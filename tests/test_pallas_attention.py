@@ -1,0 +1,47 @@
+"""Fused window-attention Pallas kernel vs the jnp attention math
+(interpret mode on CPU; the TPU compile path is exercised by bench.py
+and validated bit-identical cross-platform)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esc_tpu.ops.pallas.attention_kernels import fused_window_attention
+
+
+def _jnp_attention(q, k, v, bias, mask, nh, scale):
+    G, N, C = q.shape
+    hd = C // nh
+    qh = q.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("ghnd,ghmd->ghnm", qh * scale, kh,
+                   precision=jax.lax.Precision.HIGHEST)
+    s = s + bias[None]
+    if mask is not None:
+        s = s + mask[:, None]
+    p = jax.nn.softmax(s, -1)
+    o = jnp.einsum("ghnm,ghmd->ghnd", p, vh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return o.transpose(0, 2, 1, 3).reshape(G, N, C)
+
+
+@pytest.mark.parametrize("G,C,nh,masked", [(70, 48, 3, True),
+                                           (33, 96, 12, False)])
+def test_fused_attention_matches_jnp(rng, G, C, nh, masked):
+    N = 16
+    hd = C // nh
+    scale = hd ** -0.5
+    q, k, v = (jnp.asarray(rng.standard_normal((G, N, C)).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((nh, N, N)).astype(np.float32))
+    mask = None
+    if masked:
+        mask = jnp.asarray(np.where(rng.random((G, N, N)) > 0.5, 0.0,
+                                    -100.0).astype(np.float32))
+    ref = _jnp_attention(q, k, v, bias, mask, nh, scale)
+    out = fused_window_attention(q, k, v, bias, mask, num_heads=nh,
+                                 scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
