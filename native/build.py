@@ -13,15 +13,22 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT_DIR = os.path.join(HERE, "..", "esc_tpu", "native")
 
 
+TARGETS = {
+    "wavio.cpp": "libescwav.so",
+    "rangecoder.cpp": "libescrc.so",
+}
+
+
 def build():
     os.makedirs(OUT_DIR, exist_ok=True)
-    src = os.path.join(HERE, "wavio.cpp")
-    out = os.path.join(OUT_DIR, "libescwav.so")
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-pthread", src, "-o", out]
-    print(" ".join(cmd))
-    subprocess.check_call(cmd)
-    print(f"built {out}")
+    for src_name, out_name in TARGETS.items():
+        src = os.path.join(HERE, src_name)
+        out = os.path.join(OUT_DIR, out_name)
+        cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+               "-fPIC", "-pthread", src, "-o", out]
+        print(" ".join(cmd))
+        subprocess.check_call(cmd)
+        print(f"built {out}")
 
 
 if __name__ == "__main__":
