@@ -36,6 +36,9 @@ def parse_args(argv=None):
                    help="folder with config.yaml and model checkpoint")
     p.add_argument("--num_streams", type=int, default=6,
                    help="number of transmitted streams in encoding")
+    p.add_argument("--chunk_seconds", type=float, default=None,
+                   help="constant-memory chunked inference for long "
+                        "files (window-grid-aligned chunks + margins)")
     p.add_argument("--device", type=str, default=None,
                    help="unused (JAX selects the backend); kept for "
                         "reference CLI compatibility")
@@ -72,9 +75,16 @@ def main(args):
     x = load_wav(args.input)[None, :]
     model = load_model(args.model_path)
 
-    # fused single-dispatch encode+decode
-    codes, feat_shape, recon = model.roundtrip(x,
-                                               num_streams=args.num_streams)
+    if args.chunk_seconds:
+        codes, feat_shape = model.encode_chunked(
+            x, num_streams=args.num_streams,
+            chunk_seconds=args.chunk_seconds)
+        recon = model.decode_chunked(codes, feat_shape,
+                                     chunk_seconds=args.chunk_seconds)
+    else:
+        # fused single-dispatch encode+decode
+        codes, feat_shape, recon = model.roundtrip(
+            x, num_streams=args.num_streams)
 
     fname = os.path.basename(args.input)
     stem = fname.rsplit(".", 1)[0]

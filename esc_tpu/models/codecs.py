@@ -351,6 +351,117 @@ class _CodecWrapper:
         return self._decode_fn(self.variables, jnp.asarray(codes),
                                tuple(feat_shape))
 
+    # -- chunked long-file inference (constant memory) --------------------
+
+    def _samples_per_code(self) -> int:
+        m = self.module
+        hop = int(m.hop_len * m.sr * 1e-3)
+        return hop * m.patch_size[1] * m.overlap  # 320 for the base config
+
+    def encode_chunked(self, x, num_streams: int = 6,
+                       chunk_seconds: float = 10.0,
+                       margin_seconds: float = 1.0):
+        """Windowed constant-memory encoding for long files.
+
+        The Swin stack's receptive field along time is bounded (4-patch
+        windows with 2-patch shifts per block), so each chunk is encoded
+        with a ``margin`` of context on both sides and only the center
+        codes are kept. Codes match full-file encoding except within a
+        receptive field of the chunk seams. Returns (codes, feat_shape
+        of the full signal). Capability extension: the reference only has
+        chunked inference for DAC (baselines/.../base.py:188-216).
+        """
+        self._check_streams(num_streams)
+        self._ensure_init()
+        x = np.asarray(x, np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        spc = self._samples_per_code()
+        L = x.shape[-1]
+        fs_full = self.feat_shape(L)
+        total_codes = fs_full[1] // self.module.overlap
+        # chunk starts and margins must keep the Swin window grid aligned:
+        # window_size tokens = window_size/overlap code frames (2 for the
+        # base config), so round both to even code counts
+        align = max(1, self.module.window_size // self.module.overlap)
+        chunk = max(align, (int(chunk_seconds * self.module.sr) // spc)
+                    // align * align)
+        margin = max(align, -(-int(margin_seconds * self.module.sr)
+                              // spc) // align * align)
+        if total_codes <= chunk:
+            codes, fs = self.encode(x, num_streams)
+            return codes, fs
+
+        # the trailing center-padded STFT frame makes full-file coverage
+        # total_codes*spc samples; zero-fill the tail
+        need = total_codes * spc
+        if need > L:
+            x = np.pad(x, ((0, 0), (0, need - L)))
+
+        pieces = []
+        for start in range(0, total_codes, chunk):
+            end = min(start + chunk, total_codes)
+            lo = max(0, start - margin)
+            hi = min(total_codes, end + margin)
+            seg = x[:, lo * spc : hi * spc]
+            c, _ = self.encode(seg, num_streams)
+            pieces.append(np.asarray(c)[..., start - lo : start - lo
+                                        + (end - start)])
+        codes = np.concatenate(pieces, axis=-1)
+        return jnp.asarray(codes), fs_full
+
+    def decode_chunked(self, codes, feat_shape: Tuple[int, int],
+                       chunk_seconds: float = 10.0,
+                       margin_seconds: float = 1.0,
+                       crossfade: int = 160):
+        """Windowed decoding, the inverse of :meth:`encode_chunked`.
+
+        Chunks are decoded with margins and spliced with a short linear
+        crossfade, so memory stays constant in file length.
+        """
+        self._ensure_init()
+        codes = np.asarray(codes)
+        spc = self._samples_per_code()
+        total_codes = codes.shape[-1]
+        align = max(1, self.module.window_size // self.module.overlap)
+        chunk = max(align, (int(chunk_seconds * self.module.sr) // spc)
+                    // align * align)
+        margin = max(align, -(-int(margin_seconds * self.module.sr)
+                              // spc) // align * align)
+        if total_codes <= chunk:
+            return self.decode(codes, feat_shape)
+
+        H = feat_shape[0]
+        out = None
+        for start in range(0, total_codes, chunk):
+            end = min(start + chunk, total_codes)
+            lo = max(0, start - margin)
+            hi = min(total_codes, end + margin)
+            seg_codes = jnp.asarray(codes[..., lo:hi])
+            seg_fs = (H, (hi - lo) * self.module.overlap)
+            y = np.asarray(self.decode(seg_codes, seg_fs))
+            keep = y[:, (start - lo) * spc
+                     : (start - lo + end - start) * spc].copy()
+            if out is None:
+                out = keep
+            else:
+                xf = min(crossfade, keep.shape[-1], out.shape[-1])
+                if xf > 0:
+                    # crossfade the seam using the margin-decoded preview
+                    # of the previous region
+                    prev_tail = y[:, (start - lo) * spc - xf
+                                  : (start - lo) * spc]
+                    w = np.linspace(0.0, 1.0, xf, dtype=np.float32)[None]
+                    out[:, -xf:] = out[:, -xf:] * (1 - w) + prev_tail * w
+                out = np.concatenate([out, keep], axis=-1)
+        # full-file decode yields (T-1)*hop samples; the last chunk's
+        # decode is one STFT frame short of its code coverage — pad
+        expected = (feat_shape[1] * self.module.patch_size[1] - 1) \
+            * int(self.module.hop_len * self.module.sr * 1e-3)
+        if out.shape[-1] < expected:
+            out = np.pad(out, ((0, 0), (0, expected - out.shape[-1])))
+        return jnp.asarray(out[:, :expected])
+
     def roundtrip(self, x, num_streams: int = 6):
         """Waveform -> (codes, feat_shape, reconstruction) in ONE device
         dispatch — encode+decode fused into a single compiled program
