@@ -413,3 +413,133 @@ class ESCMirror(nn.Module):
     def decode(self, codes, shape):
         feat = self.decoder.decode(codes, self.quantizers, shape)
         return istft(feat, self.cfg["in_freq"])
+
+
+# --------------------------------------------------- RVQ ablation mirror
+class RVQ(nn.Module):  # quantization.py:139-274 (bottleneck variant)
+    def __init__(self, hidden_dim, num_vqs, cb_dim, cb_size, l2norm):
+        super().__init__()
+        self.do_proj = hidden_dim != cb_dim
+        if self.do_proj:
+            self.proj_down = nn.Linear(hidden_dim, cb_dim, bias=False)
+            self.proj_up = nn.Linear(cb_dim, hidden_dim, bias=False)
+        self.vqs = nn.ModuleList(
+            [Codebook(cb_dim, cb_size, l2norm) for _ in range(num_vqs)])
+
+    def quantize_to_code(self, z, s):  # quantization.py:223-237
+        codes, residual = [], z
+        for i in range(s):
+            c = self.vqs[i].encode(residual)
+            codes.append(c)
+            if len(codes) == s:
+                break
+            residual = residual - self.vqs[i].decode(c)
+        return torch.stack(codes, 1)
+
+    def dequantize_code(self, codes):
+        z = 0.0
+        for i in range(codes.shape[1]):
+            z = z + self.vqs[i].decode(codes[:, i])
+        return z
+
+
+class ProductRVQ(nn.Module):  # quantization.py:276-378
+    def __init__(self, in_dim, in_freq, overlap, num_pvqs, num_rvqs,
+                 cb_dim, cb_size, l2norm):
+        super().__init__()
+        self.in_freq, self.overlap = in_freq, overlap
+        self.fix_dim = in_freq * in_dim
+        total = self.fix_dim * overlap
+        if total % num_pvqs == 0:
+            self.dims = [total // num_pvqs] * num_pvqs
+        else:
+            self.dims = [total // num_pvqs] * (num_pvqs - 1)
+            self.dims.append(total - sum(self.dims))
+        self.vqs = nn.ModuleList([
+            RVQ(d, num_rvqs, cb_dim, cb_size, l2norm) for d in self.dims])
+
+    def _pre(self, z):
+        B, L, C = z.shape
+        H = self.in_freq
+        z = z.reshape(B, H, L // H, C).permute(0, 2, 3, 1).reshape(
+            B, L // H, self.fix_dim)
+        if self.overlap > 1:
+            z = z.reshape(B, -1, self.overlap * self.fix_dim)
+        return z
+
+    def _post(self, z):
+        B = z.shape[0]
+        if self.overlap > 1:
+            z = z.reshape(B, -1, self.fix_dim)
+        W = z.shape[1]
+        H = self.in_freq
+        return z.reshape(B, W, -1, H).permute(0, 3, 1, 2).reshape(
+            B, H * W, -1)
+
+    def encode(self, z, s):
+        z = self._pre(z)
+        codes, off = [], 0
+        for m, rvq in enumerate(self.vqs):
+            zm = z[..., off:off + self.dims[m]]
+            zm = rvq.proj_down(zm) if rvq.do_proj else zm
+            codes.append(rvq.quantize_to_code(zm, s))
+            off += self.dims[m]
+        return torch.stack(codes, 2)
+
+    def decode(self, codes):
+        zq = []
+        for m, rvq in enumerate(self.vqs):
+            z = rvq.dequantize_code(codes[..., m, :])
+            zq.append(rvq.proj_up(z) if rvq.do_proj else z)
+        return self._post(torch.cat(zq, -1))
+
+
+class PlainDecoder(nn.Module):  # base.py:161-203
+    def __init__(self, cfg):
+        super().__init__()
+        h = cfg["h_dims"][::-1]
+        heads = cfg["swin_heads"][::-1]
+        self.blocks = nn.ModuleList([
+            TransformerLayer(h[i], h[i + 1], heads[i], cfg["swin_depth"],
+                             cfg["window_size"], cfg["mlp_ratio"], "up")
+            for i in range(len(h) - 1)])
+        self.post_nn = TransformerLayer(h[-1], h[-1], heads[-1],
+                                        cfg["swin_depth"],
+                                        cfg["window_size"],
+                                        cfg["mlp_ratio"], None)
+        self.patch_deembed = PatchDeEmbed(cfg["in_freq"], cfg["in_dim"],
+                                          tuple(cfg["patch_size"]), h[-1])
+
+    def forward(self, z, shape):
+        H, W = shape
+        for blk in self.blocks:
+            z, H, W = blk(z, H, W)
+        z, H, W = self.post_nn(z, H, W)
+        return self.patch_deembed(z)
+
+
+class RVQMirror(nn.Module):
+    """Reference-equivalent RVQCodecs (codecs.py:96-181): encode/decode."""
+
+    def __init__(self, **cfg):
+        super().__init__()
+        self.cfg = cfg
+        dec_h = cfg["h_dims"][::-1]
+        Hb = cfg["in_freq"] // cfg["patch_size"][0]
+        ms = cfg["max_streams"]
+        self.quantizers = ProductRVQ(
+            dec_h[0], Hb // 2 ** (ms - 1), cfg["overlap"],
+            cfg["group_size"], cfg["num_rvqs"], cfg["codebook_dim"],
+            cfg["codebook_size"], cfg["l2norm"])
+        self.encoder = Encoder(cfg)
+        self.decoder = PlainDecoder(cfg)
+
+    @torch.no_grad()
+    def encode(self, x, s):
+        hs, shape = self.encoder(stft(x, self.cfg["in_freq"]))
+        return self.quantizers.encode(hs[-1], s), shape
+
+    @torch.no_grad()
+    def decode(self, codes, shape):
+        zq = self.quantizers.decode(codes)
+        return istft(self.decoder(zq, shape), self.cfg["in_freq"])
