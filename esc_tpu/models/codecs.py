@@ -230,11 +230,41 @@ class RVQModule(nn.Module):
                                  self.hop_len, self.sr)
 
 
+# Module-level jitted entry points with the (hashable, frozen) flax
+# module as a static argument: every codec instance with an identical
+# config shares one compiled program per entry point, instead of
+# re-tracing per wrapper instance.
+@functools.partial(jax.jit, static_argnames=("mod", "num_streams"))
+def _encode_jit(mod, variables, x, num_streams):
+    return mod.apply(variables, x, num_streams, method="encode")
+
+
+@functools.partial(jax.jit, static_argnames=("mod", "feat_shape"))
+def _decode_jit(mod, variables, codes, feat_shape):
+    return mod.apply(variables, codes, feat_shape, method="decode")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mod", "num_streams", "freeze_codebook"))
+def _forward_jit(mod, variables, x, x_feat, num_streams, freeze_codebook):
+    return mod.apply(variables, x, x_feat, num_streams, freeze_codebook,
+                     False)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mod", "num_streams", "feat_shape"))
+def _roundtrip_jit(mod, variables, x, num_streams, feat_shape):
+    codes = mod.apply(variables, x, num_streams, method="encode")
+    recon = mod.apply(variables, codes, feat_shape, method="decode")
+    return codes, recon
+
+
 class _CodecWrapper:
     """Stateful convenience facade around a codec flax module.
 
-    Owns the variables, lazily initialized, and jit-caches the
-    encode/decode/forward entry points (static num_streams/feat_shape).
+    Owns the variables, lazily initialized; the jitted entry points are
+    shared across instances with equal configs (see the module-level
+    *_jit functions).
     """
 
     module_cls = None
@@ -243,35 +273,19 @@ class _CodecWrapper:
         config = dict(config)
         config.pop("dtype", None)
         self.config = config
-        self.module = self.module_cls(**config, dtype=dtype)
+        # tuple-ize sequence fields so the module is hashable (frozen
+        # dataclass) and can be a jit static argument
+        module_cfg = {k: tuple(v) if isinstance(v, list) else v
+                      for k, v in config.items()}
+        self.module = self.module_cls(**module_cfg, dtype=dtype)
         self.variables = None
         self._seed = seed
 
         mod = self.module
-
-        @functools.partial(jax.jit, static_argnames=("num_streams",))
-        def _encode(variables, x, num_streams):
-            return mod.apply(variables, x, num_streams, method="encode")
-
-        @functools.partial(jax.jit, static_argnames=("feat_shape",))
-        def _decode(variables, codes, feat_shape):
-            return mod.apply(variables, codes, feat_shape, method="decode")
-
-        @functools.partial(jax.jit,
-                           static_argnames=("num_streams", "freeze_codebook"))
-        def _forward(variables, x, x_feat, num_streams, freeze_codebook):
-            return mod.apply(variables, x, x_feat, num_streams,
-                             freeze_codebook, False)
-
-        @functools.partial(jax.jit,
-                           static_argnames=("num_streams", "feat_shape"))
-        def _roundtrip(variables, x, num_streams, feat_shape):
-            codes = mod.apply(variables, x, num_streams, method="encode")
-            recon = mod.apply(variables, codes, feat_shape, method="decode")
-            return codes, recon
-
-        self._encode_fn, self._decode_fn, self._forward_fn, \
-            self._roundtrip_fn = _encode, _decode, _forward, _roundtrip
+        self._encode_fn = functools.partial(_encode_jit, mod)
+        self._decode_fn = functools.partial(_decode_jit, mod)
+        self._forward_fn = functools.partial(_forward_jit, mod)
+        self._roundtrip_fn = functools.partial(_roundtrip_jit, mod)
 
     # -- variables ------------------------------------------------------
 
