@@ -30,6 +30,8 @@ def parse_args(argv=None):
                    help="folder to save test statistics")
     p.add_argument("--num_streams", type=int, default=None,
                    help="evaluate a single bitrate instead of the sweep")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard eval batches across all local devices")
     p.add_argument("--device", type=str, default=None,
                    help="unused (JAX selects the backend)")
     return p.parse_args(argv)
@@ -45,9 +47,14 @@ def run(args):
     e_counter = EntropyCounter(cfg["model"]["codebook_size"],
                                num_streams=cfg["model"]["max_streams"],
                                num_groups=cfg["model"].get("group_size", 3))
+    dp = None
+    if args.data_parallel:
+        from ..parallel import DataParallel
+        dp = DataParallel()
     performances = eval_epoch(model, eval_loader, metric_funcs, e_counter,
                               bps_per_stream=1.5,
-                              num_streams=args.num_streams, verbose=True)
+                              num_streams=args.num_streams, verbose=True,
+                              dp=dp)
     save_path = args.save_path or args.model_path
     with open(f"{save_path}/perf_stats.json", "w") as f:
         json.dump(performances, f, indent=2)

@@ -19,12 +19,25 @@ __all__ = ["eval_epoch"]
 
 def eval_epoch(model, eval_loader, metric_funcs: Dict,
                e_counter: EntropyCounter, bps_per_stream: float = 1.5,
-               num_streams: Optional[int] = None, verbose: bool = True):
+               num_streams: Optional[int] = None, verbose: bool = True,
+               dp=None):
     """Evaluate ``model`` (a codec wrapper) over ``eval_loader``.
 
     num_streams=None sweeps s = 1..max_streams (1.5 -> 9 kbps), matching
-    scripts/test.py:30-31.
+    scripts/test.py:30-31. Pass a :class:`esc_tpu.parallel.DataParallel`
+    as ``dp`` to shard each eval batch across the mesh (params are
+    replicated once; jit follows the input shardings).
     """
+    if dp is not None and dp.num_devices > 1:
+        model._ensure_init()
+        model.variables = dp.replicate(model.variables)
+
+    def _prep(x):
+        if dp is not None and dp.num_devices > 1 \
+                and x.shape[0] % dp.num_devices == 0:
+            return dp.shard(x)
+        return x
+
     all_perf = {k: [] for k in metric_funcs}
     all_perf["utilization"] = []
     eval_range = (range(num_streams, num_streams + 1)
@@ -34,7 +47,7 @@ def eval_epoch(model, eval_loader, metric_funcs: Dict,
         perf = {k: [] for k in metric_funcs}
         e_counter.reset_stats(num_streams=s)
         for x in eval_loader:
-            out = model(x, None, num_streams=s)
+            out = model(_prep(x), None, num_streams=s)
             recon = np.asarray(out["recon_audio"])
             codes = np.asarray(out["codes"])
             for k, fn in metric_funcs.items():
