@@ -145,3 +145,39 @@ def load_torch_checkpoint(path: str, model, strict: bool = True):
     model._ensure_init()
     model.variables = torch_to_flax(sd, model.variables, strict=strict)
     return model
+
+
+def _main():
+    """CLI: convert a reference .pth checkpoint to a native .ckpt.
+
+        python -m esc_tpu.convert <model_dir_with_config.yaml_and_.pth> \
+            [output.ckpt]
+    """
+    import argparse
+    import os
+
+    from .checkpoint import save_checkpoint
+    from .models import make_model
+    from .utils import read_yaml
+
+    p = argparse.ArgumentParser(prog="esc_tpu.convert")
+    p.add_argument("model_path", help="folder with config.yaml + model.pth")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output .ckpt path (default: model.ckpt alongside)")
+    args = p.parse_args()
+
+    cfg = read_yaml(os.path.join(args.model_path, "config.yaml"))
+    model = make_model(cfg["model"], cfg.get("model_name", "csvq+swinT"))
+    model.init_params()
+    pth = next(os.path.join(args.model_path, c)
+               for c in ("model.pth", "best.pth", "checkpoint.pth")
+               if os.path.exists(os.path.join(args.model_path, c)))
+    load_torch_checkpoint(pth, model)
+    out = args.output or os.path.join(args.model_path, "model.ckpt")
+    save_checkpoint(os.path.dirname(out) or ".", os.path.basename(out),
+                    step=0, model_state=model.variables["params"])
+    print(f"converted {pth} -> {out}")
+
+
+if __name__ == "__main__":
+    _main()

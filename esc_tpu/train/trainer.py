@@ -52,6 +52,8 @@ class Trainer:
         self.rng = np.random.default_rng(getattr(args, "seed", 53))
         self.bps_per_stream = 1.5
         self.wandb = None
+        from ..utils.profiling import StepTimer
+        self.timer = StepTimer()
 
     # ------------------------------------------------------------------
     def print0(self, *a, **k):
@@ -203,8 +205,11 @@ class Trainer:
                 s = quantization_dropout(args.dropout_rate,
                                          model.max_streams, self.rng)
                 freeze = step < args.pretraining_steps
+                self.timer.tic()
                 state, aux = step_fn(state, self.dp.shard(batch),
                                      jnp.int32(s), freeze=freeze)
+                jax.block_until_ready(aux["loss"])
+                self.timer.toc()
                 self._log_accumulate(aux)
 
                 if process_is_main():
@@ -238,6 +243,8 @@ class Trainer:
         stats = {k: float(np.mean([np.asarray(x) for x in v]))
                  for k, v in self.log_stats.items()}
         self.log_stats = None
+        if self.timer is not None:
+            stats.update(self.timer.summary())
         msg = " | ".join(f"{k}: {v:.4f}" for k, v in stats.items())
         self.print0(f"[step {step + 1}/{self.args.max_train_steps} "
                     f"{elapsed:.0f}s] {msg}")
