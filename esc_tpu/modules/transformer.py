@@ -124,10 +124,13 @@ class WindowAttention(nn.Module):
                        dtype=self.dtype)(x)
 
         # Fused kernel only where the window count is large enough to pay
-        # (top scales); fewer pallas_calls also keeps the whole-codec
-        # program within the AOT compile helper's resource limits.
+        # (top scales) and the head count fits the kernel's VMEM budget
+        # (heads are unrolled; nh=24 stages overflow the 16MB scoped
+        # limit). Fewer pallas_calls also keeps whole-codec programs
+        # within the AOT compile helper's resource limits.
         use_fused = (not training and jax.default_backend() == "tpu"
-                     and self.dtype == jnp.float32 and B_ >= 2048)
+                     and self.dtype == jnp.float32 and B_ >= 2048
+                     and nh <= 12)
         if use_fused:
             # fused Pallas path: softmax + both batched matmuls stay in
             # VMEM (esc_tpu/ops/pallas/attention_kernels.py)
