@@ -35,33 +35,75 @@ _LIST_NAMES = {"blocks", "swint_blocks", "quantizers", "vqs", "down_projs",
                "up_projs", "block", "discriminators", "convs", "band_convs"}
 
 
+# auto-generated flax child names inside nn.WeightNorm wrappers
+_WN_INNER = {"Conv_0", "ConvTranspose_0", "Dense_0"}
+
+
 def _flax_path_to_torch_key(path) -> str:
     """('encoder','blocks_0','attn','qkv','kernel') ->
-    'encoder.blocks.0.attn.qkv.weight'."""
+    'encoder.blocks.0.attn.qkv.weight'.
+
+    Weight-norm layers map onto torch's split parametrization:
+      .../Conv_0/kernel                  -> <parent>.weight_v
+      .../<wn-name>/Conv_0/kernel/scale  -> <parent>.weight_g
+    where <parent> is the path with the WeightNorm bookkeeping components
+    removed (torch applies weight_norm to the conv module itself).
+    """
+    raw = [p.key if hasattr(p, "key") else str(p) for p in path]
+
+    is_wn = any(r in _WN_INNER for r in raw)
+    # flax WeightNorm names the scale param '<Inner>_0/kernel/scale' (one
+    # component with slashes), living under the wrapper's name
+    is_wn_scale = raw[-1].endswith("/scale")
+
+    if is_wn_scale:
+        raw = raw[:-2]  # drop wrapper name + the scale component
+        raw.append("weight_g")
+
     parts = []
-    for p in path:
-        name = p.key if hasattr(p, "key") else str(p)
+    for name in raw:
+        if name in _WN_INNER:
+            continue
         m = _LIST_COMPONENT.match(name)
         if m and m.group(1) in _LIST_NAMES:
             parts.extend([m.group(1), m.group(2)])
         else:
             parts.append(name)
+
+    if is_wn_scale:
+        return ".".join(parts)
+
     leaf = parts.pop()
-    leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
-                "mean": "running_mean", "var": "running_var",
-                "embedding": "embedding.weight",
-                "relative_position_bias_table": "relative_position_bias_table",
-                "weight": "weight"}
-    parts.append(leaf_map.get(leaf, leaf))
+    if is_wn and leaf == "kernel":
+        leaf_name = "weight_v"
+    else:
+        leaf_map = {"kernel": "weight", "scale": "weight", "bias": "bias",
+                    "mean": "running_mean", "var": "running_var",
+                    "embedding": "embedding.weight",
+                    "codebook": "codebook.weight",
+                    "alpha": "alpha",
+                    "relative_position_bias_table":
+                        "relative_position_bias_table",
+                    "weight": "weight"}
+        leaf_name = leaf_map.get(leaf, leaf)
+    parts.append(leaf_name)
     return ".".join(parts)
 
 
 def _to_flax_array(torch_value, flax_leaf: np.ndarray, torch_key: str):
     v = np.asarray(torch_value, dtype=np.float32)
-    if v.ndim == 2 and flax_leaf.ndim == 2 and torch_key.endswith("weight") \
+    if torch_key.endswith("weight_g"):
+        v = v.reshape(-1)  # (out, 1, 1) -> (out,) WeightNorm scale
+    elif torch_key.endswith("alpha"):
+        v = v.reshape(flax_leaf.shape)  # snake (1, C, 1) -> (1, 1, C)
+    elif v.ndim == 2 and flax_leaf.ndim == 2 \
+            and (torch_key.endswith("weight")
+                 or torch_key.endswith("weight_v")) \
             and "embedding" not in torch_key \
             and "relative_position_bias_table" not in torch_key:
         v = v.T  # torch Linear (out, in) -> flax kernel (in, out)
+    elif v.ndim == 3 and flax_leaf.ndim == 3:
+        v = v.transpose(2, 1, 0)  # Conv1d OIW -> WIO (and IOW -> WOI)
     elif v.ndim == 4 and flax_leaf.ndim == 4:
         v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO (and IOHW -> HWOI)
     if v.shape != flax_leaf.shape:
