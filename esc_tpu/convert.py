@@ -32,7 +32,8 @@ __all__ = ["torch_to_flax", "load_torch_checkpoint", "flax_to_torch"]
 _LIST_COMPONENT = re.compile(r"^(.*)_(\d+)$")
 # flax submodule names that are list entries in the torch module tree
 _LIST_NAMES = {"blocks", "swint_blocks", "quantizers", "vqs", "down_projs",
-               "up_projs", "block", "discriminators", "convs", "band_convs"}
+               "up_projs", "block", "model", "discriminators", "convs",
+               "band_convs"}
 
 
 # auto-generated flax child names inside nn.WeightNorm wrappers
@@ -100,6 +101,7 @@ def _to_flax_array(torch_value, flax_leaf: np.ndarray, torch_key: str):
             and (torch_key.endswith("weight")
                  or torch_key.endswith("weight_v")) \
             and "embedding" not in torch_key \
+            and "codebook" not in torch_key \
             and "relative_position_bias_table" not in torch_key:
         v = v.T  # torch Linear (out, in) -> flax kernel (in, out)
     elif v.ndim == 3 and flax_leaf.ndim == 3:
