@@ -29,25 +29,44 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _to_serializable(tree):
+    """Optax optimizer states are pytrees of namedtuples; flax
+    ``to_state_dict`` flattens them into plain nested dicts that msgpack
+    can encode (restored against a live target with ``from_state_dict``).
+    """
+    return _to_numpy(serialization.to_state_dict(tree))
+
+
 def save_checkpoint(save_path: str, tag: str, *, step: int,
                     model_state: Any, optimizer_state: Any = None,
                     scheduler_state: Optional[Dict] = None,
-                    best_perf: float = -1.0, extra: Optional[Dict] = None
-                    ) -> str:
-    """Write a checkpoint file ``{save_path}/{tag}`` (e.g. best.ckpt)."""
+                    best_perf: float = -1.0, rng_state: Optional[str] = None,
+                    extra: Optional[Dict] = None) -> str:
+    """Write a checkpoint file ``{save_path}/{tag}`` (e.g. best.ckpt).
+
+    Keeps the reference's full-state dict layout so a resumed run is a
+    true continuation (scripts/trainer_no_adv.py:152-162): model weights,
+    optimizer moments (incl. schedule count), scheduler descriptor,
+    best_perf, plus the host RNG state (JSON) that drives quantization
+    dropout — the reference leaves RNG unsaved, we fix that.
+    """
     if jax.process_index() != 0:
         return os.path.join(save_path, tag)
     os.makedirs(save_path, exist_ok=True)
     payload = {
         "step": step,
         "model_state_dict": _to_numpy(model_state),
-        "optimizer_state_dict": _to_numpy(optimizer_state)
+        "optimizer_state_dict": _to_serializable(optimizer_state)
         if optimizer_state is not None else {},
         "scheduler_state_dict": scheduler_state or {},
         "best_perf": float(best_perf),
     }
+    if rng_state is not None:
+        payload["rng_state"] = rng_state
     if extra:
-        payload.update(_to_numpy(extra))
+        for k, v in extra.items():
+            payload[k] = v if isinstance(v, (str, int, float)) \
+                else _to_serializable(v)
     path = os.path.join(save_path, tag)
     with open(path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
@@ -61,9 +80,16 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 
 
 def restore_into(path: str, model_state_target: Any,
-                 optimizer_state_target: Any = None) -> Dict[str, Any]:
+                 optimizer_state_target: Any = None,
+                 extra_targets: Optional[Dict[str, Any]] = None
+                 ) -> Dict[str, Any]:
     """Load a checkpoint and restore pytrees against target structures
-    (shapes/dtypes validated by flax ``from_state_dict`` semantics)."""
+    (shapes/dtypes validated by flax ``from_state_dict`` semantics).
+
+    ``extra_targets`` maps payload keys (e.g. ``model_disc_state_dict``,
+    ``optimizer_disc_state_dict``) to live target pytrees; keys absent
+    from the payload are left untouched in the returned dict.
+    """
     payload = load_checkpoint(path)
     out = dict(payload)
     out["model_state_dict"] = serialization.from_state_dict(
@@ -72,4 +98,7 @@ def restore_into(path: str, model_state_target: Any,
             "optimizer_state_dict"):
         out["optimizer_state_dict"] = serialization.from_state_dict(
             optimizer_state_target, payload["optimizer_state_dict"])
+    for key, target in (extra_targets or {}).items():
+        if payload.get(key):
+            out[key] = serialization.from_state_dict(target, payload[key])
     return out

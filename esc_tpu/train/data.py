@@ -134,7 +134,14 @@ class _Prefetcher:
 
 
 class DataLoader:
-    """Minimal epoch-iterable loader over an EvalSet-style dataset."""
+    """Minimal epoch-iterable loader over an EvalSet-style dataset.
+
+    The shuffle order is a pure function of ``(seed, epoch)`` (the
+    ``set_epoch`` pattern of torch's DistributedSampler): a resumed run
+    that calls :meth:`set_epoch` replays exactly the order an
+    uninterrupted run would have seen — preemption-safe data order,
+    which the reference's DataLoader does not provide.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  num_workers: int = 0, seed: int = 0, drop_last: bool = True):
@@ -142,8 +149,12 @@ class DataLoader:
         self.bs = batch_size
         self.shuffle = shuffle
         self.workers = num_workers
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        self.epoch = 0
         self.drop_last = drop_last
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.ds) // self.bs
@@ -151,7 +162,8 @@ class DataLoader:
     def __iter__(self) -> Iterator[np.ndarray]:
         order = np.arange(len(self.ds))
         if self.shuffle:
-            self.rng.shuffle(order)
+            np.random.default_rng((self.seed, self.epoch)).shuffle(order)
+            self.epoch += 1  # auto-advance for plain `for epoch in ...` use
         return iter(_Prefetcher(self.ds, order, self.bs, self.workers))
 
 

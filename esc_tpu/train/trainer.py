@@ -181,25 +181,36 @@ class Trainer:
             if rolling and os.path.exists(rolling):
                 self._load_resume(rolling, model)
                 params = model.variables["params"]
+                if self._resumed_opt_state is not None:
+                    opt_state = self._resumed_opt_state
         if getattr(args, "pretrain_ckp", None):
             self._load_resume(args.pretrain_ckp, model)
             params = model.variables["params"]
             if self._resumed_opt_state is not None:
                 opt_state = self._resumed_opt_state
 
-        state = self.dp.replicate((params, opt_state))
+        state = self._state = self.dp.replicate((params, opt_state))
         step_fn = self._make_step_fn(model.module)
 
         step = self.start_step
         t0 = time.time()
         while step < args.max_train_steps:
-            for batch in train_dl:
+            # Epoch-aligned iteration: a resumed run replays the exact
+            # data order of the uninterrupted one (set_epoch + in-epoch
+            # offset skip; the reference restarts its DataLoader from a
+            # fresh shuffle on every resume).
+            epoch, offset = divmod(step, args.train_steps)
+            train_dl.set_epoch(epoch)
+            for i, batch in enumerate(train_dl):
+                if i < offset:
+                    continue
                 if args.pretraining_steps > 0 \
                         and step == args.pretraining_steps + 1:
                     # Optimizer renewal at the pretraining/main switch
                     # (trainer_no_adv.py:75-78).
                     params, _ = state
-                    state = (params, self.dp.replicate(self.tx.init(params)))
+                    state = self._state = (
+                        params, self.dp.replicate(self.tx.init(params)))
                     self.print0("Optimizer Renewed")
 
                 s = quantization_dropout(args.dropout_rate,
@@ -208,6 +219,7 @@ class Trainer:
                 self.timer.tic()
                 state, aux = step_fn(state, self.dp.shard(batch),
                                      jnp.int32(s), freeze=freeze)
+                self._state = state
                 jax.block_until_ready(aux["loss"])
                 self.timer.toc()
                 self._log_accumulate(aux)
@@ -226,7 +238,9 @@ class Trainer:
                 if step >= args.max_train_steps:
                     break
         self._sync_model(state)
-        self.save_ckp(state, step, tag="checkpoint.ckpt")
+        # step-1 = index of the last completed step, so a later run with
+        # more epochs resumes at exactly `step` (no skipped batch).
+        self.save_ckp(state, step - 1, tag="checkpoint.ckpt")
         return state
 
     # ------------------------------------------------------------------
@@ -263,35 +277,78 @@ class Trainer:
                     " | ".join(f"{k}: {v:.4f}" for k, v in perf.items()))
         if self.wandb is not None:
             self.wandb.log(perf, step=step)
-        metric = perf.get(self.args.val_metric)
-        if metric is not None and not np.isnan(metric) \
-                and metric > self.best_perf:
-            self.best_perf = metric
-            self.save_ckp(None, step, tag="best.ckpt")
-        self.save_ckp(None, step, tag="checkpoint.ckpt")
+        metric_name = self.args.val_metric
+        metric = perf.get(metric_name)
+        if metric is None or np.isnan(metric):
+            # e.g. PESQ without the pesq C library installed: fall back
+            # loudly rather than silently never writing best.ckpt.
+            for fallback in ("SISDR", "MelDistance"):
+                v = perf.get(fallback)
+                if v is not None and not np.isnan(v):
+                    if not self._warned_val_metric:
+                        self.print0(
+                            f"WARNING: val_metric {metric_name} is "
+                            f"unavailable (NaN) - selecting best.ckpt by "
+                            f"{fallback} instead")
+                        self._warned_val_metric = True
+                    metric_name, metric = fallback, v
+                    break
+        if metric is not None and not np.isnan(metric):
+            # MelDistance is lower-is-better; compare on a signed score.
+            score = -metric if metric_name == "MelDistance" else metric
+            if score > self.best_perf:
+                self.best_perf = score
+                self.save_ckp(self._state, step, tag="best.ckpt")
+        self.save_ckp(self._state, step, tag="checkpoint.ckpt")
 
     def save_ckp(self, state, step, tag):
+        """Persist the FULL training state (reference layout,
+        scripts/trainer_no_adv.py:152-162): weights, optimizer moments +
+        schedule count, scheduler descriptor, best_perf, host RNG."""
+        import json
+        opt_state = jax.device_get(state[1]) if state is not None else None
         save_checkpoint(
             f"{self.args.save_path}/{self.args.exp_name}", tag, step=step,
             model_state=self.model.variables["params"],
-            optimizer_state=None,
+            optimizer_state=opt_state,
             scheduler_state={"type": self.args.scheduler_type, "step": step},
-            best_perf=self.best_perf)
+            best_perf=self.best_perf,
+            rng_state=json.dumps(self.rng.bit_generator.state))
         self.print0(f"[Step {step + 1}] | checkpoint saved as {tag}")
 
     _resumed_opt_state = None
+    _resumed_payload = None
+    _warned_val_metric = False
+    _state = None
+
+    def _restore_targets(self, params):
+        """Payload-key -> live target pytrees for optimizer-state restore
+        (subclasses add discriminator state)."""
+        return {}
 
     def _load_resume(self, path, model):
         from ..checkpoint import restore_into
         self._resumed_opt_state = None
+        self._resumed_payload = None
         if path.endswith(".pth"):
             from ..convert import load_torch_checkpoint
             load_torch_checkpoint(path, model)
             self.print0(f"Loaded reference torch checkpoint {path}")
             return
-        payload = restore_into(path, model.variables["params"])
+        payload = restore_into(
+            path, model.variables["params"],
+            optimizer_state_target=self.tx.init(model.variables["params"]),
+            extra_targets=self._restore_targets(model.variables["params"]))
         model.variables = {"params": payload["model_state_dict"]}
+        if payload.get("optimizer_state_dict"):
+            self._resumed_opt_state = payload["optimizer_state_dict"]
+        if payload.get("rng_state"):
+            import json
+            self.rng.bit_generator.state = json.loads(payload["rng_state"])
+        self._resumed_payload = payload
         self.start_step = int(payload.get("step", 0)) + 1
         self.best_perf = float(payload.get("best_perf", -1.0))
         self.print0(f"Loaded checkpoint {path}: step {self.start_step}, "
-                    f"best {self.best_perf}")
+                    f"best {self.best_perf}"
+                    + (" (full optimizer state restored)"
+                       if self._resumed_opt_state is not None else ""))

@@ -137,21 +137,44 @@ class TrainerAdv(Trainer):
         return train_step
 
     # ------------------------------------------------------------------
+    def _restore_targets(self, params):
+        return {
+            "model_disc_state_dict": self.disc_params,
+            "optimizer_disc_state_dict": self.tx_disc.init(self.disc_params),
+        }
+
     def train(self):
         args = self.args
         model, train_dl, val_dl = self.load()
         self.model, self.val_dl = model, val_dl
 
+        self.best_perf, self.start_step = -1.0, 0
+        opt_state = None
+        disc_opt_state = None
+        if getattr(args, "resume", False):
+            import os
+            rolling = (f"{args.save_path}/{args.exp_name}/checkpoint.ckpt"
+                       if getattr(args, "save_path", None) else None)
+            if rolling and os.path.exists(rolling):
+                self._load_resume(rolling, model)
+                opt_state = self._resumed_opt_state
+                disc_opt_state = self._apply_resumed_disc()
         if getattr(args, "pretrain_ckp", None):
             self._load_resume(args.pretrain_ckp, model)
-            # post-adversarial training restarts step counting
-            # (trainer_adv.py:128)
+            # Post-adversarial training restarts step counting but keeps
+            # the generator optimizer moments when present
+            # (trainer_adv.py:118-128).
+            opt_state = self._resumed_opt_state
+            disc_opt_state = self._apply_resumed_disc()
             self.start_step, self.best_perf = 0, -1.0
 
         params = model.variables["params"]
-        state = self.dp.replicate((params, self.tx.init(params),
-                                   self.disc_params,
-                                   self.tx_disc.init(self.disc_params)))
+        state = self._state = self.dp.replicate((
+            params,
+            opt_state if opt_state is not None else self.tx.init(params),
+            self.disc_params,
+            disc_opt_state if disc_opt_state is not None
+            else self.tx_disc.init(self.disc_params)))
         step_fn = self._make_step_fn(model.module)
 
         if getattr(args, "pretrain_ckp", None) and process_is_main():
@@ -159,12 +182,18 @@ class TrainerAdv(Trainer):
 
         step, t0 = self.start_step, time.time()
         while step < args.max_train_steps:
-            for batch in train_dl:
+            # Epoch-aligned iteration for exact resume (see Trainer.train).
+            epoch, offset = divmod(step, args.train_steps)
+            train_dl.set_epoch(epoch)
+            for i, batch in enumerate(train_dl):
+                if i < offset:
+                    continue
                 if args.pretraining_steps > 0 \
                         and step == args.pretraining_steps + 1:
                     params = state[0]
-                    state = (params, self.dp.replicate(self.tx.init(params)),
-                             state[2], state[3])
+                    state = self._state = (
+                        params, self.dp.replicate(self.tx.init(params)),
+                        state[2], state[3])
                     self.print0("Pretraining done. Generator's Optimizer "
                                 "Renewed")
                 s = quantization_dropout(args.dropout_rate,
@@ -172,6 +201,7 @@ class TrainerAdv(Trainer):
                 freeze = step < args.pretraining_steps
                 state, aux = step_fn(state, self.dp.shard(batch),
                                      jnp.int32(s), freeze=freeze)
+                self._state = state
                 self._log_accumulate(aux)
                 if process_is_main():
                     if step > args.pretraining_steps \
@@ -188,17 +218,37 @@ class TrainerAdv(Trainer):
                     break
         self._sync_model(state)
         self.disc_params = jax.device_get(state[2])
-        self.save_ckp(state, step, tag="checkpoint.ckpt")
+        self.save_ckp(state, step - 1, tag="checkpoint.ckpt")
         return state
 
+    def _apply_resumed_disc(self):
+        """After ``_load_resume``, install restored discriminator weights
+        and return its restored optimizer state (or None)."""
+        payload = self._resumed_payload
+        if not payload:
+            return None
+        if payload.get("model_disc_state_dict") is not None \
+                and len(jax.tree_util.tree_leaves(
+                    payload["model_disc_state_dict"])) > 0:
+            self.disc_params = payload["model_disc_state_dict"]
+        d_opt = payload.get("optimizer_disc_state_dict")
+        return d_opt if d_opt and jax.tree_util.tree_leaves(d_opt) else None
+
     def save_ckp(self, state, step, tag):
+        """Reference layout + disc state (scripts/trainer_adv.py:160-172):
+        adds model_disc_state_dict / optimizer_disc_state_dict."""
+        import json
         from ..checkpoint import save_checkpoint
-        extra = {}
+        opt_state, extra = None, {}
         if state is not None:
+            opt_state = jax.device_get(state[1])
             extra["model_disc_state_dict"] = jax.device_get(state[2])
+            extra["optimizer_disc_state_dict"] = jax.device_get(state[3])
         save_checkpoint(
             f"{self.args.save_path}/{self.args.exp_name}", tag, step=step,
             model_state=self.model.variables["params"],
+            optimizer_state=opt_state,
             scheduler_state={"type": self.args.scheduler_type, "step": step},
-            best_perf=self.best_perf, extra=extra)
+            best_perf=self.best_perf,
+            rng_state=json.dumps(self.rng.bit_generator.state), extra=extra)
         self.print0(f"[Step {step + 1}] | checkpoint saved as {tag}")
