@@ -65,9 +65,20 @@ def _flax_path_to_torch_key(path) -> str:
     for name in raw:
         if name in _WN_INNER:
             continue
-        m = _LIST_COMPONENT.match(name)
-        if m and m.group(1) in _LIST_NAMES:
-            parts.extend([m.group(1), m.group(2)])
+        # Strip trailing _<idx> components (possibly several: flax
+        # 'band_convs_0_1' is torch 'band_convs.0.1') when the base name
+        # is a known torch ModuleList.
+        idxs = []
+        base = name
+        while True:
+            m = _LIST_COMPONENT.match(base)
+            if not m:
+                break
+            idxs.append(m.group(2))
+            base = m.group(1)
+        if idxs and base in _LIST_NAMES:
+            parts.append(base)
+            parts.extend(reversed(idxs))
         else:
             parts.append(name)
 
@@ -133,6 +144,13 @@ def torch_to_flax(state_dict: Dict[str, Any], variables: Dict[str, Any],
         out = []
         for path, leaf in leaves:
             key = _flax_path_to_torch_key(path)
+            if key not in sd:
+                # DAC-style WN convs live inside Sequential(conv, leaky):
+                # torch names them '<parent>.0.weight_v' etc.
+                head, _, leaf2 = key.rpartition(".")
+                alt = f"{head}.0.{leaf2}"
+                if head and alt in sd:
+                    key = alt
             if key not in sd:
                 if strict:
                     raise KeyError(

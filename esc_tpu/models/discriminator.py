@@ -34,12 +34,31 @@ __all__ = ["Discriminator", "MPD", "MSD", "MRD", "BANDS"]
 BANDS = [(0.0, 0.1), (0.1, 0.25), (0.25, 0.5), (0.5, 0.75), (0.75, 1.0)]
 
 
+class WNConv(nn.Module):
+    """One weight-normalized conv in its own module scope, so the param
+    tree is ``<name>/Conv_0/kernel`` + ``<name>/wn/Conv_0/kernel/scale``
+    — the layout esc_tpu.convert maps onto torch ``weight_v``/``weight_g``
+    (same pattern as baselines/dac/layers.py)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Any
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.WeightNorm(
+            nn.Conv(self.features, kernel_size=self.kernel_size,
+                    strides=self.strides, padding=self.padding,
+                    feature_group_count=self.feature_group_count),
+            name="wn")(x)
+
+
 def _wn_conv(features, kernel_size, strides, padding, feature_group_count=1,
              name=None):
-    return nn.WeightNorm(
-        nn.Conv(features, kernel_size=kernel_size, strides=strides,
-                padding=padding, feature_group_count=feature_group_count),
-        name=name)
+    return WNConv(features, tuple(kernel_size), tuple(strides), padding,
+                  feature_group_count, name=name)
 
 
 def _leaky(x):
@@ -56,9 +75,11 @@ class MPD(nn.Module):
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         B, L = x.shape
         p = self.period
-        pad = (p - L % p) % p
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
+        # The reference pads a FULL period when L is already divisible
+        # (discriminator.py:50 `period - t % period` is never 0) — keep
+        # the quirk for numeric parity.
+        pad = p - L % p
+        x = jnp.pad(x, ((0, 0), (0, pad)), mode="reflect")
         x = x.reshape(B, -1, p, 1)  # (B, L/p, p, C=1)
 
         fmap = []
@@ -97,14 +118,11 @@ class MSD(nn.Module):
                  (1024, 41, 4, 20, 64), (1024, 41, 4, 20, 256),
                  (1024, 5, 1, 2, 1)]
         for i, (c, k, s, p, g) in enumerate(specs):
-            x = nn.WeightNorm(nn.Conv(c, kernel_size=(k,), strides=(s,),
-                                      padding=((p, p),),
-                                      feature_group_count=g),
-                              name=f"convs_{i}")(x)
+            x = _wn_conv(c, (k,), (s,), ((p, p),), g,
+                         name=f"convs_{i}")(x)
             x = _leaky(x)
             fmap.append(x[:, None])  # lift to (B, 1, W, C) for 4-D losses
-        x = nn.WeightNorm(nn.Conv(1, kernel_size=(3,), strides=(1,),
-                                  padding=((1, 1),)), name="conv_post")(x)
+        x = _wn_conv(1, (3,), (1,), ((1, 1),), name="conv_post")(x)
         fmap.append(x[:, None])
         return fmap
 

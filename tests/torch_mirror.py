@@ -543,3 +543,128 @@ class RVQMirror(nn.Module):
     def decode(self, codes, shape):
         zq = self.quantizers.decode(codes)
         return istft(self.decoder(zq, shape), self.cfg["in_freq"])
+
+
+# ------------------------------------------------- training-mode mirror
+# STE + per-sample VQ losses (codebook.py:57-77, quantization.py:32-72),
+# cross-scale training decode with transmit masking (csrvq.py:23-49,
+# 105-130), and the generator losses (generator_loss.py) with the
+# torchaudio MelSpectrogram composed from torch.stft + the HTK filterbank
+# (torchaudio itself is absent in this image).
+
+def _codebook_forward(self, z_e):  # codebook.py:57-77 (training branch)
+    code = self.encode(z_e)
+    z_q = self.decode(code)
+    cm = F.mse_loss(z_q.detach(), z_e, reduction="none").mean([1, 2])
+    cb = F.mse_loss(z_q, z_e.detach(), reduction="none").mean([1, 2])
+    z_q = z_e + (z_q - z_e).detach()  # straight-through estimator
+    return z_q, code, cb, cm
+
+
+Codebook.forward = _codebook_forward
+
+
+def _pvq_forward(self, z, freeze=False):  # quantization.py:32-72
+    z = self._pre(z)
+    z_qs, codes, s = [], [], 0
+    cb_loss, cm_loss = 0.0, 0.0
+    for m, (dp, up, vq) in enumerate(zip(self.down_projs, self.up_projs,
+                                         self.vqs)):
+        z_e_m = dp(z[..., s:s + self.dims[m]])
+        z_q_m, code, cb, cm = vq(z_e_m)
+        if freeze:  # codebook frozen in pretraining (quantization.py:56-60)
+            z_q_m = z_q_m * 0.0 + z_e_m
+            cb, cm = cb * 0.0, cm * 0.0
+        z_qs.append(up(z_q_m))
+        codes.append(code)
+        cb_loss = cb_loss + cb
+        cm_loss = cm_loss + cm
+        s += self.dims[m]
+    return {"z_q": self._post(torch.cat(z_qs, -1)),
+            "codes": torch.stack(codes, 1),
+            "cb_loss": cb_loss / len(self.dims),
+            "cm_loss": cm_loss / len(self.dims)}
+
+
+ProductVQ.forward = _pvq_forward
+
+
+def _csrvq_forward_train(self, enc_hs, num_streams, qs, shape,
+                         freeze=False):  # csrvq.py:105-130
+    H, W = shape
+
+    def one(enc, dec, vq, transmit):  # csrvq.py:23-49
+        out = vq(enc - dec, freeze)
+        rq, code = out["z_q"], out["codes"]
+        cm, cb = out["cm_loss"], out["cb_loss"]
+        if not transmit:  # masking non-transmitted streams
+            cm, cb, rq = cm * 0.0, cb * 0.0, rq * 0.0
+        return rq + dec, cm, cb, code
+
+    z0, cm_loss, cb_loss, code = one(enc_hs[-1], 0.0, qs[0], True)
+    codes, dec = [code], z0
+    for i, blk in enumerate(self.blocks):
+        d_ref, cm_i, cb_i, code_i = one(enc_hs[-1 - i], dec, qs[i + 1],
+                                        i < num_streams - 1)
+        cm_loss = cm_loss + cm_i
+        cb_loss = cb_loss + cb_i
+        codes.append(code_i)
+        dec, H, W = blk(d_ref, H, W)
+    dec, H, W = self.post_nn(dec, H, W)
+    recon_feat = self.patch_deembed(dec)
+    return recon_feat, torch.stack(codes, 1), cm_loss, cb_loss
+
+
+CSRVQDecoder.forward_train = _csrvq_forward_train
+
+
+def _esc_forward(self, x, num_streams, freeze_codebook=False):
+    """codecs.py:30-69 forward_one_step (training path)."""
+    if freeze_codebook:
+        num_streams = self.cfg["max_streams"]
+    x_feat = stft(x, self.cfg["in_freq"])
+    enc_hs, feat_shape = self.encoder(x_feat)
+    recon_feat, codes, cm_loss, cb_loss = self.decoder.forward_train(
+        enc_hs, num_streams, self.quantizers, feat_shape, freeze_codebook)
+    recon_x = istft(recon_feat, self.cfg["in_freq"])
+    return {"cm_loss": cm_loss, "cb_loss": cb_loss, "raw_audio": x,
+            "recon_audio": recon_x, "raw_feat": x_feat,
+            "recon_feat": recon_feat, "codes": codes}
+
+
+ESCMirror.forward = _esc_forward
+
+
+def complex_stft_loss(raw_feat, recon_feat, power=0.3, eps=1e-10):
+    """generator_loss.py:12-35 (power-law compressed L2), (B,)."""
+    def pl(s):
+        return torch.sign(s) * (torch.abs(s) + eps) ** power
+    return F.mse_loss(pl(raw_feat), pl(recon_feat),
+                      reduction="none").mean([1, 2, 3])
+
+
+def mel_spectrogram_loss(x, y, clamp_eps=1e-5, sr=16000):
+    """generator_loss.py:37-75: 7-scale L1 mel + log-mel, (B,)."""
+    import numpy as np
+
+    from esc_tpu.ops.mel import MEL_BINS, MEL_WINDOWS, mel_filterbank
+
+    loss = 0.0
+    for w, m in zip(MEL_WINDOWS, MEL_BINS):
+        fb = torch.from_numpy(np.asarray(mel_filterbank(w // 2 + 1, m, sr),
+                                         dtype=np.float32)).to(x.dtype)
+        win = torch.hann_window(w, dtype=x.dtype)
+
+        def mel(a):
+            s = torch.stft(a, n_fft=w, hop_length=w // 4, win_length=w,
+                           window=win, center=True, pad_mode="reflect",
+                           return_complex=True).abs()
+            return torch.einsum("bft,fm->bmt", s, fb)
+
+        xm, ym = mel(x), mel(y)
+        loss = loss + F.l1_loss(xm, ym, reduction="none").mean([1, 2])
+        loss = loss + F.l1_loss(
+            xm.clamp(min=clamp_eps).pow(2).log10(),
+            ym.clamp(min=clamp_eps).pow(2).log10(),
+            reduction="none").mean([1, 2])
+    return loss
