@@ -45,7 +45,7 @@ class DACTrainer:
         self.dp = DataParallel(devices)
         self.lambdas = {**DEFAULT_LAMBDAS, **config.get("lambdas", {})}
         self.rng = np.random.default_rng(config.get("seed", 53))
-        self.best_perf = -1.0
+        self.best_perf = float("-inf")  # see trainer.py: fallback scores can be negative
 
     def print0(self, *a):
         if process_is_main():
@@ -156,18 +156,25 @@ class DACTrainer:
         num_iters = num_iters or cfg.get("num_iters", 400000)
         valid_freq = cfg.get("valid_freq", 4000)
         log_every = cfg.get("log_every", 5)
+        # N-thousand-iteration tagged snapshots (train_customize.py:355-358)
+        self.save_iters = set(cfg.get("save_iters",
+                                      [10000, 50000, 100000, 200000]))
 
         params = self.model.variables["params"]
         pieces = [params, self.tx.init(params)]
         if self.adversarial:
             pieces += [self.disc_params, self.tx_disc.init(self.disc_params)]
+        start_it = 0
+        if cfg.get("resume"):
+            restored = self._resume(pieces)
+            if restored is not None:
+                pieces, start_it = restored
         state = self.dp.replicate(tuple(pieces))
         step_fn = self._make_step()
-        rvq = self.model.module.quantizer if False else None  # noqa
         n_codebooks = cfg["DAC"].get("n_codebooks", 9)
         qd = cfg["DAC"].get("quantizer_dropout", 0.0)
 
-        it, t0 = 0, time.time()
+        it, t0 = start_it, time.time()
         stats = []
         while it < num_iters:
             for batch in self.train_dl:
@@ -189,33 +196,106 @@ class DACTrainer:
                                            for k, v in mean.items()))
                     stats = []
                 if it % valid_freq == 0 and process_is_main():
-                    self._validate(state, it)
+                    score = self._validate(state, it)
+                    self._save_tagged(state, it, score)
                 if it >= num_iters:
                     break
-        self._checkpoint(state, it, "latest")
+        self._save_tagged(state, it, score=None)
         return state
 
+    _warned_pesq = False
+
     def _validate(self, state, it):
+        """Full validation sweep (train_customize.py:324-345): mel/stft/
+        waveform losses + PESQ averaged over the ENTIRE val set. The
+        reference selects best checkpoints by PESQ; when the pesq C
+        library is absent (NaN) we fall back to SISDR, loudly."""
         self.model.variables = {"params": jax.device_get(state[0])}
-        perf = []
+        agg: Dict[str, list] = {}
         for x in self.val_dl:
             out = self.model(x)
-            n = min(x.shape[-1], np.asarray(out["audio"]).shape[-1])
-            perf.append(float(np.mean(self.metrics["SISDR"](
-                x[..., :n], np.asarray(out["audio"])[..., :n]))))
-            break  # one batch per validation tick
-        score = float(np.mean(perf))
-        self.print0(f"[iter {it}] val SISDR: {score:.3f}")
-        self._checkpoint(state, it, "latest")
-        if score > self.best_perf:
+            recon = np.asarray(out["audio"])
+            n = min(x.shape[-1], recon.shape[-1])
+            xt, rt = x[..., :n], recon[..., :n]
+            vals = {
+                "mel/loss": float(np.mean(np.asarray(
+                    mel_spectrogram_loss(xt, rt)))),
+                "stft/loss": float(np.mean(np.asarray(
+                    multi_scale_stft_loss(xt, rt)))),
+                "waveform/loss": float(np.mean(np.asarray(
+                    l1_loss(xt, rt)))),
+                "pesq": float(np.nanmean(self.metrics["PESQ"](xt, rt))),
+                "sisdr": float(np.mean(self.metrics["SISDR"](xt, rt))),
+            }
+            for k, v in vals.items():
+                agg.setdefault(k, []).append(v)
+        perf = {k: float(np.nanmean(v)) for k, v in agg.items()}
+        self.print0(f"[iter {it}] " + " | ".join(
+            f"test/{k}: {v:.3f}" for k, v in perf.items()))
+        score = perf["pesq"]
+        if np.isnan(score):
+            if not self._warned_pesq:
+                self.print0("WARNING: PESQ unavailable (pesq lib missing) "
+                            "- selecting best checkpoint by SISDR")
+                self._warned_pesq = True
+            score = perf["sisdr"]
+        return score
+
+    def _save_tagged(self, state, it, score):
+        """latest always; best on improvement; '<N>k' at save_iters
+        (train_customize.py:347-377)."""
+        tags = ["latest"]
+        if score is not None and score > self.best_perf:
             self.best_perf = score
-            self._checkpoint(state, it, "best")
+            tags.append("best")
+        if it in getattr(self, "save_iters", ()):
+            tags.append(f"{it // 1000}k")
+        for tag in tags:
+            self._checkpoint(state, it, tag)
 
     def _checkpoint(self, state, it, tag):
+        import json
         extra = {}
         if self.adversarial:
             extra["model_disc_state_dict"] = jax.device_get(state[2])
+            extra["optimizer_disc_state_dict"] = jax.device_get(state[3])
         save_checkpoint(self.cfg.get("save_path", "./dac_output"),
                         f"{tag}.ckpt", step=it,
                         model_state=jax.device_get(state[0]),
-                        best_perf=self.best_perf, extra=extra)
+                        optimizer_state=jax.device_get(state[1]),
+                        best_perf=self.best_perf,
+                        rng_state=json.dumps(self.rng.bit_generator.state),
+                        extra=extra)
+
+    def _resume(self, pieces):
+        """Restore the rolling 'latest' checkpoint (full training state)."""
+        import json
+        import os
+
+        from ...checkpoint import restore_into
+        path = os.path.join(self.cfg.get("save_path", "./dac_output"),
+                            "latest.ckpt")
+        if not os.path.exists(path):
+            return None
+        extra_targets = {}
+        if self.adversarial:
+            extra_targets = {
+                "model_disc_state_dict": pieces[2],
+                "optimizer_disc_state_dict": pieces[3],
+            }
+        payload = restore_into(path, pieces[0],
+                               optimizer_state_target=pieces[1],
+                               extra_targets=extra_targets)
+        new = [payload["model_state_dict"],
+               payload.get("optimizer_state_dict") or pieces[1]]
+        if self.adversarial:
+            new += [payload.get("model_disc_state_dict", pieces[2]),
+                    payload.get("optimizer_disc_state_dict") or pieces[3]]
+        self.model.variables = {"params": new[0]}
+        self.best_perf = float(payload.get("best_perf", -1.0))
+        if payload.get("rng_state"):
+            self.rng.bit_generator.state = json.loads(payload["rng_state"])
+        it = int(payload.get("step", 0))
+        self.print0(f"Resumed DAC training from {path} at iter {it} "
+                    f"(best {self.best_perf:.3f})")
+        return new, it

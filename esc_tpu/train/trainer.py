@@ -169,7 +169,9 @@ class Trainer:
 
         params = model.variables["params"]
         opt_state = self.tx.init(params)
-        self.best_perf, self.start_step = -1.0, 0
+        # -inf, not the reference's -1.0: with the SISDR/MelDistance
+        # fallback a negative score must still beat the sentinel.
+        self.best_perf, self.start_step = float("-inf"), 0
 
         # Preemption-safe auto-resume (gap-fill over the reference, whose
         # restarts are manual via --pretrain_ckp, SURVEY §5): --resume

@@ -148,7 +148,7 @@ class TrainerAdv(Trainer):
         model, train_dl, val_dl = self.load()
         self.model, self.val_dl = model, val_dl
 
-        self.best_perf, self.start_step = -1.0, 0
+        self.best_perf, self.start_step = float("-inf"), 0
         opt_state = None
         disc_opt_state = None
         if getattr(args, "resume", False):
@@ -166,7 +166,7 @@ class TrainerAdv(Trainer):
             # (trainer_adv.py:118-128).
             opt_state = self._resumed_opt_state
             disc_opt_state = self._apply_resumed_disc()
-            self.start_step, self.best_perf = 0, -1.0
+            self.start_step, self.best_perf = 0, float("-inf")
 
         params = model.variables["params"]
         state = self._state = self.dp.replicate((

@@ -102,3 +102,42 @@ def test_dac_trainer_smoke(tmp_path, rng):
     leaves = jax.tree_util.tree_leaves(state[0])
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert os.path.exists(tmp_path / "out" / "latest.ckpt")
+
+
+def test_dac_trainer_validate_tag_resume(tmp_path, rng):
+    """Full-val-set validation drives latest/best/Nk tags; resume
+    restores the complete training state (train_customize.py:320-460)."""
+    import os
+
+    from esc_tpu.train.data import save_wav
+    for sub in ("train", "test"):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+        for i in range(8):
+            t = np.arange(8000) / 16000
+            x = 0.3 * np.sin(2 * np.pi * (150 + 50 * i) * t)
+            save_wav(str(tmp_path / sub / f"c{i}.wav"), x.astype(np.float32))
+
+    from esc_tpu.baselines.dac.trainer import DACTrainer
+    from esc_tpu.checkpoint import load_checkpoint
+    cfg = {"DAC": dict(CFG), "batch_size": 1, "val_batch_size": 4,
+           "num_iters": 2, "valid_freq": 2, "save_iters": [2],
+           "log_every": 1, "data_path": str(tmp_path),
+           "save_path": str(tmp_path / "out"), "seed": 0}
+    tr = DACTrainer(cfg, adversarial=False)
+    tr.train(num_iters=2)
+
+    out = tmp_path / "out"
+    for tag in ("latest", "best", "0k"):  # 2 // 1000 -> '0k'
+        assert (out / f"{tag}.ckpt").exists(), tag
+    payload = load_checkpoint(str(out / "latest.ckpt"))
+    assert payload["step"] == 2
+    assert len(jax.tree_util.tree_leaves(payload["optimizer_state_dict"])) > 0
+    assert isinstance(payload["rng_state"], str)
+    assert np.isfinite(tr.best_perf)  # SISDR fallback fired (pesq absent)
+
+    tr2 = DACTrainer({**cfg, "resume": True}, adversarial=False)
+    state = tr2.train(num_iters=4)
+    assert tr2.best_perf >= tr.best_perf or np.isfinite(tr2.best_perf)
+    leaves = jax.tree_util.tree_leaves(state[0])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert load_checkpoint(str(out / "latest.ckpt"))["step"] == 4
