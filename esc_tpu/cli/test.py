@@ -38,11 +38,15 @@ def parse_args(argv=None):
 
 
 def run(args):
+    model = load_model(args.model_path)
+    # pad_eval: one static padded shape + per-utterance masked metrics, so
+    # unequal-length folders score identically at any batch size (nothing
+    # is cropped to the batch min)
     eval_loader = make_dataloader(args.eval_folder_path, args.batch_size,
-                                  shuffle=False)
+                                  shuffle=False, pad_eval=True,
+                                  pad_fn=model.pad_length)
     metric_funcs = {"PESQ": PESQ(), "MelDistance": MelSpectrogramDistance(),
                     "SISDR": SISDR()}
-    model = load_model(args.model_path)
     cfg = read_yaml(f"{args.model_path}/config.yaml")
     e_counter = EntropyCounter(cfg["model"]["codebook_size"],
                                num_streams=cfg["model"]["max_streams"],

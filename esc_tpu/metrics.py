@@ -19,7 +19,7 @@ import numpy as np
 from .ops.mel import MEL_BINS, MEL_WINDOWS, mel_spectrogram
 
 __all__ = ["PESQ", "MelSpectrogramDistance", "SISDR", "EntropyCounter",
-           "mel_distance", "sisdr"]
+           "mel_distance", "sisdr", "mel_distance_masked", "sisdr_masked"]
 
 SR = 16000
 
@@ -33,17 +33,22 @@ except ImportError:  # pragma: no cover - gated dependency
 
 class PESQ:
     """Batch PESQ (wideband) via the host pesq C library
-    (scripts/metrics.py:79-94). Returns NaNs when the library is absent."""
+    (scripts/metrics.py:79-94). Returns NaNs when the library is absent.
 
-    def __call__(self, x, y) -> np.ndarray:
+    ``lengths`` (optional, per-sample true lengths of zero-padded inputs)
+    restricts scoring to each utterance's valid samples.
+    """
+
+    def __call__(self, x, y, lengths=None) -> np.ndarray:
         x = np.asarray(x)
         y = np.asarray(y)
         if not HAVE_PESQ:
             return np.full((x.shape[0],), np.nan, dtype=np.float32)
         out = []
         for b in range(x.shape[0]):
+            n = int(lengths[b]) if lengths is not None else x.shape[-1]
             try:
-                out.append(_pesq_fn(SR, x[b], y[b], "wb"))
+                out.append(_pesq_fn(SR, x[b, :n], y[b, :n], "wb"))
             except Exception:
                 out.append(np.nan)
         return np.asarray(out, dtype=np.float32)
@@ -79,13 +84,110 @@ def sisdr(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return 10.0 * jnp.log10(signal / noise + eps)
 
 
+def _reflect_pad_dynamic(x: jnp.ndarray, n: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Center reflect padding with a *traced* signal length.
+
+    ``x`` is ``(L,)`` zero-padded beyond its true length ``n``; the result
+    is ``(L + 2*pad,)`` whose first ``n + 2*pad`` entries equal
+    ``jnp.pad(x[:n], pad, mode="reflect")`` for any number of boundary
+    reflections (period-``2n-2`` fold), as a single dynamic gather.
+    Entries past ``n + 2*pad`` are unspecified (callers mask them out).
+    """
+    idx = jnp.arange(x.shape[-1] + 2 * pad) - pad
+    period = jnp.maximum(2 * n - 2, 1)
+    m = jnp.abs(idx) % period
+    src = jnp.minimum(m, period - m)
+    return x[src]
+
+
+def _masked_log_mel(x: jnp.ndarray, lengths: jnp.ndarray, n_fft: int,
+                    n_mels: int):
+    """Log power mel of zero-padded batch ``(B, L)`` at true ``lengths``.
+
+    Returns ``(logmel (B, n_mels, T), frame_mask (B, T), t_valid (B,))``;
+    frames ``t < n//hop + 1`` are bit-identical to
+    ``mel_spectrogram(x[:n])`` (same reflect-pad boundary semantics).
+    """
+    from .ops.mel import mel_filterbank
+    from .ops.stft import _dft_matrices, frame_signal
+
+    hop = n_fft // 4
+    pad = n_fft // 2
+    B, L = x.shape
+    T = L // hop + 1
+    F = n_fft // 2 + 1
+    xp = jax.vmap(lambda a, n: _reflect_pad_dynamic(a, n, pad))(
+        x.astype(jnp.float32), lengths)
+    frames = frame_signal(xp, n_fft, hop, T)
+    fwd, _, _ = _dft_matrices(n_fft, n_fft)
+    spec = jnp.dot(frames, jnp.asarray(fwd),
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).reshape(B, T, 2, F)
+    mag = jnp.sqrt(jnp.sum(spec * spec, axis=2) + 1e-24)
+    fb = jnp.asarray(mel_filterbank(F, n_mels, SR))
+    mel = jnp.einsum("btf,fm->bmt", mag, fb,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    logmel = jnp.log10(jnp.clip(mel, min=1e-5) ** 2)
+    t_valid = lengths // hop + 1
+    mask = (jnp.arange(T)[None, :] < t_valid[:, None]).astype(jnp.float32)
+    return logmel, mask, t_valid
+
+
+@jax.jit
+def mel_distance_masked(x: jnp.ndarray, y: jnp.ndarray,
+                        lengths: jnp.ndarray) -> jnp.ndarray:
+    """:func:`mel_distance` over the true (unpadded) span of each sample.
+
+    ``x``/``y`` are ``(B, L)`` zero-padded; ``lengths`` ``(B,)`` int. For
+    each sample this equals ``mel_distance(x[:n], y[:n])`` exactly, so
+    batched evaluation of unequal-length folders matches batch_size=1.
+    """
+    loss = 0.0
+    for w, m in zip(MEL_WINDOWS, MEL_BINS):
+        lx, mask, t_valid = _masked_log_mel(x, lengths, w, m)
+        ly, _, _ = _masked_log_mel(y, lengths, w, m)
+        diff = jnp.abs(lx - ly) * mask[:, None, :]
+        loss += jnp.sum(diff, axis=(1, 2)) / (m * t_valid.astype(jnp.float32))
+    return loss
+
+
+@jax.jit
+def sisdr_masked(x: jnp.ndarray, y: jnp.ndarray,
+                 lengths: jnp.ndarray) -> jnp.ndarray:
+    """:func:`sisdr` over the true (unpadded) span of each sample (exact)."""
+    eps = 1e-8
+    mask = (jnp.arange(x.shape[-1])[None, :]
+            < lengths[:, None]).astype(x.dtype)
+    n = lengths.astype(x.dtype)[:, None]
+    xm, ym = x * mask, y * mask
+    ref = (xm - jnp.sum(xm, axis=-1, keepdims=True) / n) * mask
+    est = (ym - jnp.sum(ym, axis=-1, keepdims=True) / n) * mask
+    ref_energy = jnp.sum(ref * ref, axis=-1) + eps
+    proj = jnp.sum(ref * est, axis=-1) + eps
+    scale = (proj / ref_energy)[..., None]
+    e_true = scale * ref
+    e_res = est - e_true
+    signal = jnp.sum(e_true ** 2, axis=-1)
+    noise = jnp.sum(e_res ** 2, axis=-1)
+    return 10.0 * jnp.log10(signal / noise + eps)
+
+
 class MelSpectrogramDistance:
-    def __call__(self, x, y):
+    def __call__(self, x, y, lengths=None):
+        if lengths is not None:
+            return np.asarray(mel_distance_masked(
+                jnp.asarray(x), jnp.asarray(y),
+                jnp.asarray(lengths, dtype=jnp.int32)))
         return np.asarray(mel_distance(jnp.asarray(x), jnp.asarray(y)))
 
 
 class SISDR:
-    def __call__(self, x, y):
+    def __call__(self, x, y, lengths=None):
+        if lengths is not None:
+            return np.asarray(sisdr_masked(
+                jnp.asarray(x), jnp.asarray(y),
+                jnp.asarray(lengths, dtype=jnp.int32)))
         return np.asarray(sisdr(jnp.asarray(x), jnp.asarray(y)))
 
 
@@ -94,6 +196,16 @@ def _code_histograms(codes: jnp.ndarray, codebook_size: int) -> jnp.ndarray:
     """codes (B, S, G, T) -> counts (S, G, codebook_size), one pass."""
     onehot = jax.nn.one_hot(codes, codebook_size, dtype=jnp.float32)
     return jnp.sum(onehot, axis=(0, 3))
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _code_histograms_masked(codes: jnp.ndarray, codebook_size: int,
+                            t_valid: jnp.ndarray) -> jnp.ndarray:
+    """Masked variant: only code frames ``t < t_valid[b]`` are counted."""
+    onehot = jax.nn.one_hot(codes, codebook_size, dtype=jnp.float32)
+    mask = (jnp.arange(codes.shape[-1])[None, :]
+            < t_valid[:, None]).astype(jnp.float32)  # (B, T)
+    return jnp.einsum("bsgtc,bt->sgc", onehot, mask)
 
 
 class EntropyCounter:
@@ -120,11 +232,28 @@ class EntropyCounter:
         self.max_total_entropy = (num_streams * self.num_groups
                                   * self.max_entropy_per_book)
 
-    def update(self, codes) -> None:
-        """codes: (B, num_streams, num_groups, T)."""
+    def update(self, codes, lengths=None,
+               samples_per_code: Optional[int] = None) -> None:
+        """codes: (B, num_streams, num_groups, T).
+
+        With ``lengths`` (true per-utterance sample counts of a padded
+        batch) and ``samples_per_code`` (audio samples covered by one code
+        frame, e.g. 320 for ESC-Base), only code frames covering real
+        audio are counted — padding never inflates utilization.
+        """
         codes = jnp.asarray(codes)
         assert codes.shape[1] == self.num_streams \
             and codes.shape[2] == self.num_groups, "code indices size not match"
+        if lengths is not None and samples_per_code:
+            t_valid = np.minimum(
+                -(-np.asarray(lengths) // samples_per_code),
+                codes.shape[-1]).astype(np.int32)
+            self.total_counts += int(t_valid.sum())
+            self.counts += np.asarray(
+                _code_histograms_masked(codes, self.codebook_size,
+                                        jnp.asarray(t_valid)),
+                dtype=np.float64)
+            return
         self.total_counts += codes.shape[0] * codes.shape[-1]
         self.counts += np.asarray(
             _code_histograms(codes, self.codebook_size), dtype=np.float64)

@@ -367,6 +367,13 @@ class _CodecWrapper:
 
     # -- chunked long-file inference (constant memory) --------------------
 
+    def pad_length(self, n: int) -> int:
+        """Smallest grid-exact input length >= n (recon covers exactly it)."""
+        m = self.module
+        hop = int(m.hop_len * m.sr * 1e-3)
+        from ..train.data import esc_pad_length
+        return esc_pad_length(n, hop, m.patch_size[1])
+
     def _samples_per_code(self) -> int:
         m = self.module
         hop = int(m.hop_len * m.sr * 1e-3)

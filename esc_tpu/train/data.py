@@ -86,6 +86,7 @@ class EvalSet:
         self.files: List[str] = files[:180000]
         if not self.files:
             raise FileNotFoundError(f"no .wav files under {folder}")
+        self._max_length: Optional[int] = None
 
     def __len__(self) -> int:
         return len(self.files)
@@ -93,22 +94,58 @@ class EvalSet:
     def __getitem__(self, i: int) -> np.ndarray:
         return load_wav(self.files[i])[:-80]
 
+    def max_length(self) -> int:
+        """Longest utterance (post-trim), from WAV headers only — no
+        decode. Used to pick one static padded shape for the whole eval
+        sweep (single XLA compile, batch-size-independent results)."""
+        if self._max_length is None:
+            mx = 0
+            for f in self.files:
+                with wave.open(f, "rb") as w:
+                    mx = max(mx, w.getnframes())
+            self._max_length = mx - 80
+        return self._max_length
+
 
 class _Prefetcher:
     """Thread-pool batch assembler with a bounded prefetch queue."""
 
-    def __init__(self, dataset, order, batch_size, num_workers, prefetch=4):
+    def __init__(self, dataset, order, batch_size, num_workers, prefetch=4,
+                 pad_to_length=None, drop_last=True):
         self.ds, self.order, self.bs = dataset, order, batch_size
+        self.pad_to = pad_to_length
         self.q: "queue.Queue" = queue.Queue(maxsize=max(2, prefetch))
-        self.n_batches = len(order) // batch_size
+        if drop_last or pad_to_length is None:
+            self.n_batches = len(order) // batch_size
+        else:
+            self.n_batches = -(-len(order) // batch_size)
         self.workers = max(1, num_workers)
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _load_batch(self, idxs):
         items = [self.ds[i] for i in idxs]
-        L = min(len(a) for a in items)
-        return np.stack([a[:L] for a in items]).astype(np.float32)
+        if self.pad_to is None:
+            # training collate: crop to the batch min (all clips equal
+            # length in the reference's training corpus)
+            L = min(len(a) for a in items)
+            return np.stack([a[:L] for a in items]).astype(np.float32)
+        # eval collate: one static padded shape + true lengths, so
+        # metrics are per-utterance exact and batch-size independent
+        lengths = np.asarray([len(a) for a in items], dtype=np.int32)
+        if lengths.max() > self.pad_to:
+            raise ValueError(
+                f"utterance length {lengths.max()} exceeds pad_to_length "
+                f"{self.pad_to}")
+        # keep the batch dimension static too: a final partial batch is
+        # padded with zero rows (length 0) that eval_epoch discards
+        out = np.zeros((self.bs, self.pad_to), dtype=np.float32)
+        for b, a in enumerate(items):
+            out[b, : len(a)] = a
+        if len(items) < self.bs:
+            lengths = np.concatenate(
+                [lengths, np.zeros(self.bs - len(items), np.int32)])
+        return out, lengths
 
     def _run(self):
         try:
@@ -144,7 +181,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
-                 num_workers: int = 0, seed: int = 0, drop_last: bool = True):
+                 num_workers: int = 0, seed: int = 0, drop_last: bool = True,
+                 pad_to_length: Optional[int] = None):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -152,23 +190,48 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.drop_last = drop_last
+        self.pad_to_length = pad_to_length
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = int(epoch)
 
     def __len__(self) -> int:
-        return len(self.ds) // self.bs
+        if self.drop_last or self.pad_to_length is None:
+            return len(self.ds) // self.bs
+        return -(-len(self.ds) // self.bs)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         order = np.arange(len(self.ds))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(order)
             self.epoch += 1  # auto-advance for plain `for epoch in ...` use
-        return iter(_Prefetcher(self.ds, order, self.bs, self.workers))
+        return iter(_Prefetcher(self.ds, order, self.bs, self.workers,
+                                pad_to_length=self.pad_to_length,
+                                drop_last=self.drop_last))
+
+
+def esc_pad_length(n: int, hop: int = 80, patch_t: int = 2) -> int:
+    """Smallest codec-grid-exact length >= ``n``: a multiple of the STFT
+    hop whose frame count ``L/hop + 1`` is divisible by the time patch
+    size, so the codec reconstruction covers exactly ``L`` samples."""
+    k = -(-n // hop)
+    while (k + 1) % patch_t:
+        k += 1
+    return k * hop
 
 
 def make_dataloader(data_path: str, batch_size: int, shuffle: bool,
-                    num_workers: int = 0, seed: int = 0) -> DataLoader:
-    """Mirror of scripts/utils.py:42-46."""
-    return DataLoader(EvalSet(data_path), batch_size, shuffle, num_workers,
-                      seed)
+                    num_workers: int = 0, seed: int = 0,
+                    pad_eval: bool = False,
+                    pad_fn=esc_pad_length) -> DataLoader:
+    """Mirror of scripts/utils.py:42-46.
+
+    ``pad_eval=True`` switches to the honest eval collate: every batch is
+    padded to one static length (``pad_fn`` of the dataset max) and yields
+    ``(audio (B, L), lengths (B,))``, so unequal-length folders evaluate
+    identically at any batch size and nothing is cropped.
+    """
+    ds = EvalSet(data_path)
+    pad_to = pad_fn(ds.max_length()) if pad_eval else None
+    return DataLoader(ds, batch_size, shuffle, num_workers, seed,
+                      drop_last=not pad_eval, pad_to_length=pad_to)

@@ -38,6 +38,11 @@ def eval_epoch(model, eval_loader, metric_funcs: Dict,
             return dp.shard(x)
         return x
 
+    try:
+        spc = model._samples_per_code()
+    except AttributeError:  # non-codec wrappers (tests)
+        spc = None
+
     all_perf = {k: [] for k in metric_funcs}
     all_perf["utilization"] = []
     eval_range = (range(num_streams, num_streams + 1)
@@ -46,20 +51,35 @@ def eval_epoch(model, eval_loader, metric_funcs: Dict,
     for s in eval_range:
         perf = {k: [] for k in metric_funcs}
         e_counter.reset_stats(num_streams=s)
-        for x in eval_loader:
+        for batch in eval_loader:
+            # padded eval collate yields (audio, lengths); training-style
+            # collate yields a bare equal-length array
+            x, lengths = batch if isinstance(batch, tuple) else (batch, None)
             out = model(_prep(x), None, num_streams=s)
             recon = np.asarray(out["recon_audio"])
             codes = np.asarray(out["codes"])
-            for k, fn in metric_funcs.items():
-                perf[k].extend(np.asarray(fn(x, recon)).tolist())
-            e_counter.update(codes)
+            if lengths is not None:
+                keep = lengths > 0  # drop final-batch padding rows
+                for k, fn in metric_funcs.items():
+                    vals = np.asarray(fn(x, recon, lengths))
+                    perf[k].extend(vals[keep].tolist())
+                e_counter.update(codes[keep], lengths=lengths[keep],
+                                 samples_per_code=spc)
+            else:
+                for k, fn in metric_funcs.items():
+                    perf[k].extend(np.asarray(fn(x, recon)).tolist())
+                e_counter.update(codes)
+        def _mean(v):  # all-NaN (e.g. PESQ lib absent) -> nan, silently
+            v = np.asarray(v, dtype=np.float64)
+            return float(np.nanmean(v)) if np.isfinite(v).any() else float("nan")
+
         for k, v in perf.items():
-            all_perf[k].append(round(float(np.nanmean(v)), 4))
+            all_perf[k].append(round(_mean(v), 4))
         rate, _ = e_counter.compute_utilization()
         all_perf["utilization"].append(rate)
         if verbose:
             print(f"Test Metrics at {s * bps_per_stream:.2f}kbps: ", end="")
-            print(" | ".join(f"{k}: {np.nanmean(v):.4f}"
+            print(" | ".join(f"{k}: {_mean(v):.4f}"
                              for k, v in perf.items()),
                   f"| utilization: {rate:.4f}")
     return all_perf
