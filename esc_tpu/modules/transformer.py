@@ -124,13 +124,17 @@ class WindowAttention(nn.Module):
                        dtype=self.dtype)(x)
 
         # Fused kernel only where the window count is large enough to pay
-        # (top scales) and the head count fits the kernel's VMEM budget
-        # (heads are unrolled; nh=24 stages overflow the 16MB scoped
-        # limit). Fewer pallas_calls also keeps whole-codec programs
-        # within the AOT compile helper's resource limits.
+        # and the head geometry tiles profitably: nh<=12 unrolls in one
+        # tile; nh=24/hd=16 uses lane-aligned 8-head channel blocks
+        # (2.1-3.7x over XLA on v5e, winning already at 512 windows);
+        # nh=24/hd=8 has no lane-aligned grouping and measured ~1.0x, so
+        # it keeps XLA (recorded negative result). Narrow-channel stages
+        # only pay off at larger window counts (crossover ~1k on v5e).
+        from ..ops.pallas.attention_kernels import fused_attention_profitable
+        min_windows = 512 if C >= 256 else 2048
         use_fused = (not training and jax.default_backend() == "tpu"
-                     and self.dtype == jnp.float32 and B_ >= 2048
-                     and nh <= 12)
+                     and self.dtype == jnp.float32 and B_ >= min_windows
+                     and fused_attention_profitable(nh, hd))
         if use_fused:
             # fused Pallas path: softmax + both batched matmuls stay in
             # VMEM (esc_tpu/ops/pallas/attention_kernels.py)

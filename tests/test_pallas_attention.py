@@ -28,7 +28,9 @@ def _jnp_attention(q, k, v, bias, mask, nh, scale):
 
 
 @pytest.mark.parametrize("G,C,nh,masked", [(70, 48, 3, True),
-                                           (33, 96, 12, False)])
+                                           (33, 96, 12, False),
+                                           (40, 384, 24, True),
+                                           (40, 192, 24, False)])
 def test_fused_attention_matches_jnp(rng, G, C, nh, masked):
     N = 16
     hd = C // nh
