@@ -1,0 +1,52 @@
+"""Quality-trajectory regression (VERDICT round-1 item 8): training the
+tiny codec on the deterministic synthetic corpus must reproduce the
+committed golden trajectory's quality gain within loose bounds.
+
+Golden file: tests/golden/quality_trajectory.json, produced by
+`python tools/quality_trajectory.py` (400 steps on a TPU v5e chip;
+MelDistance 8.72 -> 3.80). This CPU test re-runs the first 100 steps and
+asserts at least 60% of the golden run's relative MelDistance reduction
+at step 100 — backend-robust evidence that the training loop drives
+reconstruction quality, the feasible stand-in for BASELINE.md parity in
+a checkpoint-less environment.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tools.quality_trajectory import GOLDEN, make_corpus, run_trajectory
+
+STEPS = 100
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(os.path.normpath(GOLDEN)) as f:
+        return json.load(f)
+
+
+def test_quality_trajectory_matches_golden(tmp_path, golden):
+    gold = {t["step"]: t for t in golden["trajectory"]}
+    assert 0 in gold and STEPS in gold, "golden file missing checkpoints"
+    gold_rel = 1.0 - gold[STEPS]["MelDistance"] / gold[0]["MelDistance"]
+    assert gold_rel > 0.3, "golden trajectory itself shows no improvement"
+
+    corpus = tmp_path / "corpus"
+    make_corpus(str(corpus))
+    got = run_trajectory(str(corpus), total_steps=STEPS, eval_every=STEPS)
+    traj = {t["step"]: t for t in got["trajectory"]}
+
+    # start roughly where the golden run started (same init seed/data)
+    np.testing.assert_allclose(traj[0]["MelDistance"],
+                               gold[0]["MelDistance"], rtol=0.15)
+
+    rel = 1.0 - traj[STEPS]["MelDistance"] / traj[0]["MelDistance"]
+    assert rel >= 0.6 * gold_rel, (
+        f"MelDistance improved {rel:.1%} in {STEPS} steps; golden run "
+        f"improved {gold_rel:.1%} — training regression")
+    # all metrics stay finite throughout
+    for t in got["trajectory"]:
+        assert np.isfinite(t["MelDistance"]) and np.isfinite(t["SISDR"])
