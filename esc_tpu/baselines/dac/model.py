@@ -17,6 +17,7 @@ specs instead of module introspection.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple, Union
@@ -294,10 +295,19 @@ def _conv_specs(m: DACModule) -> List[Tuple[str, int, int, int]]:
     return specs
 
 
+@functools.partial(jax.jit, static_argnames=("mod",))
+def _dac_init_jit(mod, rng, x):
+    return mod.init(rng, x, None, False)
+
+
 class DAC:
     """Stateful wrapper: owns params + jit caches + the file codec."""
 
     def __init__(self, seed: int = 0, **config):
+        # YAML configs give lists; tuples keep the module hashable so it
+        # can key shared jit caches across wrapper instances.
+        config = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in config.items()}
         self.module = DACModule(**config)
         self.config = config
         self.variables = None
@@ -324,8 +334,9 @@ class DAC:
         rng = jax.random.PRNGKey(self._seed if seed is None else seed)
         L = -(-example_len // self.hop_length) * self.hop_length
         x = jnp.zeros((1, L), jnp.float32)
-        init_fn = jax.jit(self.module.init, static_argnums=(2, 3))
-        self.variables = init_fn(rng, x, None, False)
+        # shared across instances with equal configs (frozen module is
+        # the jit cache key) — one init compile per (config, length)
+        self.variables = _dac_init_jit(self.module, rng, x)
         return self.variables
 
     def _ensure_init(self):

@@ -234,6 +234,11 @@ class RVQModule(nn.Module):
 # module as a static argument: every codec instance with an identical
 # config shares one compiled program per entry point, instead of
 # re-tracing per wrapper instance.
+@functools.partial(jax.jit, static_argnames=("mod",))
+def _init_jit(mod, rng, x):
+    return mod.init(rng, x, None, mod.max_streams, False, False)
+
+
 @functools.partial(jax.jit, static_argnames=("mod", "num_streams"))
 def _encode_jit(mod, variables, x, num_streams):
     return mod.apply(variables, x, num_streams, method="encode")
@@ -302,11 +307,10 @@ class _CodecWrapper:
         x = jnp.zeros((1, example_len), jnp.float32)
         # jit the initializer: eager init dispatches hundreds of tiny ops
         # (minutes through a remote-TPU tunnel); compiled it is one
-        # program and lands in the persistent compilation cache.
-        init_fn = jax.jit(self.module.init,
-                          static_argnums=(2, 3, 4, 5))  # feat/streams/flags
-        self.variables = init_fn(rng, x, None, self.max_streams, False,
-                                 False)
+        # program, shared across wrapper instances with equal configs
+        # (the frozen module is the cache key), and it lands in the
+        # persistent compilation cache.
+        self.variables = _init_jit(self.module, rng, x)
         return self.variables
 
     def _ensure_init(self):

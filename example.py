@@ -1,14 +1,53 @@
 """Programmatic demo (mirrors the reference example.ipynb):
 
 load a config + checkpoint, encode/decode at 9 kbps, report the codes
-shape, nominal bitrate, and quality metrics.
+shape, nominal bitrate, and quality metrics, and (with --plot) save a
+mel-spectrogram comparison figure like the notebook's cells 3-7.
 
-    python example.py --model_path ./esc9kbps --input audio.wav
+    python example.py --model_path ./esc9kbps --input audio.wav \
+        --plot melcomp.png
 """
 
 import argparse
 
 import numpy as np
+
+
+def plot_mel_comparison(x, recon, out_path, sample_rate=16000):
+    """Two-panel mel-dB comparison (reference example.ipynb: librosa
+    melspectrogram n_mels=256 + specshow). Uses the in-repo DFT-as-GEMM
+    mel op; matplotlib is an optional import."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        print("matplotlib not installed — skipping --plot")
+        return False
+    from esc_tpu.ops.mel import mel_spectrogram
+
+    mels = []
+    for sig in (x, recon):
+        m = np.asarray(mel_spectrogram(np.asarray(sig, np.float32),
+                                       n_fft=2048, n_mels=256,
+                                       sample_rate=sample_rate))[0]
+        mels.append(20.0 * np.log10(np.maximum(m, 1e-10)))
+    vmax = max(m.max() for m in mels)
+    vmin = vmax - 80.0
+    fig, axes = plt.subplots(2, 1, figsize=(10, 7), sharex=True)
+    hop = 2048 // 4
+    extent = [0, mels[0].shape[1] * hop / sample_rate, 0, 256]
+    for ax, m, title in zip(axes, mels, ("input", "reconstruction")):
+        im = ax.imshow(m, origin="lower", aspect="auto", cmap="magma",
+                       vmin=vmin, vmax=vmax, extent=extent)
+        ax.set_title(title)
+        ax.set_ylabel("mel bin")
+    axes[1].set_xlabel("time (s)")
+    fig.colorbar(im, ax=axes, format="%+2.0f dB")
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    print(f"mel comparison written to {out_path}")
+    return True
 
 
 def main():
@@ -19,6 +58,8 @@ def main():
     p.add_argument("--input", type=str, default=None,
                    help="16 kHz mono wav; default synthesizes a test tone")
     p.add_argument("--num_streams", type=int, default=6)
+    p.add_argument("--plot", type=str, default=None,
+                   help="write a mel-spectrogram comparison PNG here")
     args = p.parse_args()
 
     from esc_tpu.metrics import PESQ, MelSpectrogramDistance, SISDR
@@ -55,6 +96,9 @@ def main():
     pesq = PESQ()(x, recon)[0]
     print(f"PESQ(wb):     {pesq:.4f}" if np.isfinite(pesq)
           else "PESQ(wb):     n/a (pesq C library not installed)")
+
+    if args.plot:
+        plot_mel_comparison(x, recon, args.plot)
 
 
 if __name__ == "__main__":
