@@ -42,16 +42,26 @@ def parse_args(argv=None):
     p.add_argument("--device", type=str, default=None,
                    help="unused (JAX selects the backend); kept for "
                         "reference CLI compatibility")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="compute dtype; bfloat16 is the fast serving "
+                        "mode (params stay float32, matmuls run bf16 "
+                        "on the MXU)")
     return p.parse_args(argv)
 
 
-def load_model(model_path: str, seed: int = 0):
+def load_model(model_path: str, seed: int = 0, dtype: str = "float32"):
     """Build a codec from ``{model_path}/config.yaml`` and load weights
     from ``model.pth`` (reference torch) / ``model.ckpt`` (ours) /
     ``best.ckpt`` / ``checkpoint.ckpt`` — whichever exists."""
+    import jax.numpy as jnp
+
     cfg = read_yaml(os.path.join(model_path, "config.yaml"))
+    jdtype = {"float32": jnp.float32,
+              "bfloat16": jnp.bfloat16}[dtype] if isinstance(dtype, str) \
+        else dtype
     model = make_model(cfg["model"], cfg.get("model_name", "csvq+swinT"),
-                       seed=seed)
+                       seed=seed, dtype=jdtype)
     model.init_params()
     for cand in ("model.pth", "best.pth", "model.ckpt", "best.ckpt",
                  "checkpoint.ckpt", "pretrained.ckpt"):
@@ -73,7 +83,8 @@ def load_model(model_path: str, seed: int = 0):
 
 def main(args):
     x = load_wav(args.input)[None, :]
-    model = load_model(args.model_path)
+    model = load_model(args.model_path,
+                       dtype=getattr(args, "dtype", "float32"))
 
     if args.chunk_seconds:
         codes, feat_shape = model.encode_chunked(

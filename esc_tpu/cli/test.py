@@ -34,11 +34,15 @@ def parse_args(argv=None):
                    help="shard eval batches across all local devices")
     p.add_argument("--device", type=str, default=None,
                    help="unused (JAX selects the backend)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="compute dtype (bfloat16 = fast serving mode)")
     return p.parse_args(argv)
 
 
 def run(args):
-    model = load_model(args.model_path)
+    model = load_model(args.model_path,
+                       dtype=getattr(args, "dtype", "float32"))
     # pad_eval: one static padded shape + per-utterance masked metrics, so
     # unequal-length folders score identically at any batch size (nothing
     # is cropped to the batch min)
