@@ -1,0 +1,177 @@
+"""Breadth benchmark: every model family on one chip.
+
+Measures, on real hardware (the same jitted entry points the CLIs use):
+  - ESC-Base  encode+decode RTF (batch 16, 3 s clips, 9 kbps)
+  - ESC-Large encode+decode RTF (swin_depth 4, README.md:65)
+  - ESC-Base  training samples/s (exact Trainer step, batch 9)
+  - DAC-Tiny  encode+decode RTF (configs/dac/16khz_dns_9k_tiny.yml)
+  - EnCodec   encode+decode RTF (24 kHz, 6 kbps)
+
+Prints one JSON line per entry and writes them all to BENCH_EXTRA.json.
+The driver-graded single-line artifact stays `bench.py`; this file is the
+README performance table's source of truth.
+"""
+
+import json
+import sys
+import time
+
+
+def _best_time(fn, iters=10, blocks=5):
+    import jax
+
+    jax.block_until_ready(fn())  # steady-state warmup
+    best = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+ESC_BASE = dict(
+    backbone="transformer", in_dim=2, in_freq=192,
+    h_dims=[45, 72, 96, 144, 192, 384], max_streams=6,
+    win_len=20, hop_len=5, sr=16000, patch_size=[3, 2],
+    swin_heads=[3, 6, 12, 24, 24], swin_depth=2, window_size=4,
+    mlp_ratio=4.0, overlap=2, group_size=3, codebook_size=1024,
+    codebook_dims=[8, 8, 8, 8, 8, 8], l2norm=True,
+)
+
+
+def bench_esc(config, name, B=16, L=47920, sr=16000, dtype=None):
+    import numpy as np
+
+    from esc_tpu.models import ESC
+
+    kw = {} if dtype is None else {"dtype": dtype}
+    model = ESC(**config, **kw)
+    model.init_params(example_len=L)
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((B, L)).astype(np.float32)
+
+    def roundtrip():
+        _, _, recon = model.roundtrip(x, num_streams=6)
+        return recon
+
+    sec = _best_time(roundtrip)
+    rtf = B * (L / sr) / sec
+    return {"metric": f"{name}_rtf_per_chip", "value": round(rtf, 1),
+            "unit": f"x_realtime (batch={B}, 3s clips, 9kbps)",
+            "vs_baseline": round(rtf, 1)}
+
+
+def bench_esc_train(B=9, L=47920):
+    import jax
+    import numpy as np
+    from types import SimpleNamespace
+
+    from esc_tpu.models import ESC
+    from esc_tpu.train.optim import make_optimizer, make_schedule
+    from esc_tpu.train.trainer import Trainer
+
+    model = ESC(**ESC_BASE)
+    model.init_params(example_len=L)
+    tr = Trainer(SimpleNamespace(), SimpleNamespace(seed=53))
+    tr.loss_weights = {"cm": 0.25, "cb": 1.0, "mel": 0.25, "stft": 1.0}
+    tr.tx = make_optimizer(make_schedule("constant", 1e-4, total_steps=1000,
+                                         warmup_steps=0), clip_norm=0.5)
+    train_step = tr._make_step_fn(model.module)
+    params = model.variables["params"]
+    state = [(params, tr.tx.init(params))]
+    rng = np.random.default_rng(53)
+    batch = (0.2 * rng.standard_normal((B, L))).astype(np.float32)
+    ns = jax.numpy.asarray(6, jax.numpy.int32)
+
+    def step():
+        state[0], aux = train_step(state[0], batch, ns, False)
+        return aux["loss"]
+
+    sec = _best_time(step, iters=20)
+    ref_per_gpu = 4.34 * 36 / 4  # 39.06 samples/s per RTX 4090 (README:48)
+    return {"metric": "esc_base_train_samples_per_s", "value": round(B / sec, 1),
+            "unit": f"samples/s (batch {B}, step {sec * 1e3:.2f} ms)",
+            "vs_baseline": round(B / sec / ref_per_gpu, 2)}
+
+
+def bench_dac(B=8, L=48000, sr=16000):
+    import numpy as np
+
+    from esc_tpu.baselines.dac import DAC
+    from esc_tpu.utils.config import read_yaml
+
+    cfg = read_yaml("configs/dac/16khz_dns_9k_tiny.yml")["DAC"]
+    dac = DAC(**cfg)
+    dac.init_params(example_len=L)
+    rng = np.random.default_rng(53)
+    x = (0.2 * rng.standard_normal((B, L))).astype(np.float32)
+    import jax.numpy as jnp
+
+    xj = jnp.asarray(x)
+
+    def roundtrip():
+        codes = dac._encode_codes(dac.variables, xj, True)
+        return dac._decode_codes(dac.variables, codes, True)
+
+    sec = _best_time(roundtrip)
+    rtf = B * (L / sr) / sec
+    return {"metric": "dac_tiny_rtf_per_chip", "value": round(rtf, 1),
+            "unit": f"x_realtime (batch={B}, 3s clips, 9kbps, 18 codebooks)",
+            "vs_baseline": round(rtf, 1)}
+
+
+def bench_encodec(B=8, L=72000, sr=24000):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esc_tpu.baselines.encodec import Encodec
+    from esc_tpu.baselines.encodec.model import (_encodec_decode_jit,
+                                                 _encodec_encode_jit)
+
+    enc = Encodec(sample_rate=24000, bandwidth=6.0)
+    enc.init_params(example_len=L)
+    rng = np.random.default_rng(53)
+    xj = jnp.asarray((0.2 * rng.standard_normal((B, L))).astype(np.float32))
+
+    def roundtrip():
+        codes = _encodec_encode_jit(enc.module, enc.variables, xj, enc.n_q)
+        return _encodec_decode_jit(enc.module, enc.variables, codes)
+
+    sec = _best_time(roundtrip)
+    rtf = B * (L / sr) / sec
+    return {"metric": "encodec_rtf_per_chip", "value": round(rtf, 1),
+            "unit": f"x_realtime (batch={B}, 3s clips, 24kHz, 6kbps)",
+            "vs_baseline": round(rtf, 1)}
+
+
+def main():
+    results = []
+    def _bf16():
+        import jax.numpy as jnp
+
+        return bench_esc(ESC_BASE, "esc_base_bf16", dtype=jnp.bfloat16)
+
+    jobs = [
+        ("esc_base", lambda: bench_esc(ESC_BASE, "esc_base")),
+        ("esc_base_bf16", _bf16),
+        ("esc_large", lambda: bench_esc({**ESC_BASE, "swin_depth": 4},
+                                        "esc_large")),
+        ("esc_train", bench_esc_train),
+        ("dac_tiny", bench_dac),
+        ("encodec", bench_encodec),
+    ]
+    for name, job in jobs:
+        try:
+            r = job()
+        except Exception as e:  # pragma: no cover - report and continue
+            r = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    with open("BENCH_EXTRA.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
