@@ -29,6 +29,11 @@ from .model import DAC
 
 __all__ = ["DACTrainer"]
 
+# jitted step closures shared across DACTrainer instances (see
+# DACTrainer._make_step); values pin the owning trainer so closed-over
+# optimizer objects stay alive
+_DAC_STEP_CACHE: dict = {}
+
 DEFAULT_LAMBDAS = {"mel/loss": 15.0, "adv/feat_loss": 2.0,
                    "adv/gen_loss": 1.0, "vq/commitment_loss": 0.25,
                    "vq/codebook_loss": 1.0, "stft/loss": 1.0,
@@ -88,6 +93,25 @@ class DACTrainer:
                         "SISDR": SISDR()}
 
     def _make_step(self):
+        # Share the jitted step across trainer instances with identical
+        # semantics (module, lambdas, optimizer hyperparams): a
+        # train -> resume sequence then compiles ONE step graph. The
+        # cached closure's tx objects belong to the first instance but
+        # compute the same update (hyperparams are part of the key).
+        aw = self.cfg.get("AdamW", {})
+        key = (self.model.module, self.adversarial,
+               self.disc_module if self.adversarial else None,
+               tuple(sorted(self.lambdas.items())),
+               aw.get("lr", 1e-4), tuple(aw.get("betas", [0.8, 0.99])),
+               self.cfg.get("ExponentialLR", {}).get("gamma", 0.999996))
+        hit = _DAC_STEP_CACHE.get(key)
+        if hit is not None:
+            return hit[0]
+        fn = self._build_step()
+        _DAC_STEP_CACHE[key] = (fn, self)
+        return fn
+
+    def _build_step(self):
         module = self.model.module
         lam = self.lambdas
         adv = self.adversarial

@@ -318,8 +318,17 @@ class _CodecWrapper:
             self.init_params()
 
     def num_params(self) -> int:
-        self._ensure_init()
-        leaves = jax.tree_util.tree_leaves(self.variables["params"])
+        if self.variables is None:
+            # abstract init: trace-only shape inference, no XLA compile —
+            # param counting stays cheap even for ESC-Large
+            shapes = jax.eval_shape(
+                lambda rng, x: self.module.init(
+                    rng, x, None, self.module.max_streams, False, False),
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, 4720), jnp.float32))
+            leaves = jax.tree_util.tree_leaves(shapes["params"])
+        else:
+            leaves = jax.tree_util.tree_leaves(self.variables["params"])
         return int(sum(np.prod(l.shape) for l in leaves))
 
     def feat_shape(self, audio_len: int) -> Tuple[int, int]:

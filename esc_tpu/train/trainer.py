@@ -41,6 +41,11 @@ from .optim import make_optimizer, make_schedule
 
 __all__ = ["Trainer"]
 
+# jitted train-step closures shared across Trainer instances (see
+# Trainer._make_step_fn); values pin the optimizer objects so the
+# id()-based keys stay valid
+_STEP_FN_CACHE: dict = {}
+
 
 class Trainer:
     """Distributed codec trainer (non-adversarial)."""
@@ -126,6 +131,20 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _make_step_fn(self, module):
+        # Shared across Trainer instances: the jitted closure is keyed by
+        # (module, loss weights, optimizer identity) — make_optimizer
+        # memoizes equal configs to the same tx object, so e.g. a
+        # checkpoint-resume test's three Trainers compile ONE step.
+        key = (module, tuple(sorted(self.loss_weights.items())),
+               id(self.tx))
+        hit = _STEP_FN_CACHE.get(key)
+        if hit is not None:
+            return hit[0]
+        fn = self._build_step_fn(module)
+        _STEP_FN_CACHE[key] = (fn, self.tx)  # pin tx: keeps id valid
+        return fn
+
+    def _build_step_fn(self, module):
         weights = self.loss_weights
 
         @functools.partial(jax.jit, static_argnames=("freeze",),

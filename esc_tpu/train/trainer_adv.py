@@ -73,6 +73,19 @@ class TrainerAdv(Trainer):
 
     # ------------------------------------------------------------------
     def _make_step_fn(self, module):
+        from .trainer import _STEP_FN_CACHE
+
+        key = (module, self.disc_module,
+               tuple(sorted(self.loss_weights.items())),
+               id(self.tx), id(self.tx_disc))
+        hit = _STEP_FN_CACHE.get(key)
+        if hit is not None:
+            return hit[0]
+        fn = self._build_step_fn(module)
+        _STEP_FN_CACHE[key] = (fn, self.tx, self.tx_disc)
+        return fn
+
+    def _build_step_fn(self, module):
         weights = self.loss_weights
         disc_module = self.disc_module
 

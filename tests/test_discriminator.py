@@ -44,26 +44,38 @@ def test_fmap_structure(disc, rng):
     assert fmaps[0][-1].shape[-1] == 1
 
 
-def test_gan_losses_per_sample_and_grads(disc, rng):
-    module, params = disc
-    real = jnp.asarray(rng.standard_normal((2, L)).astype(np.float32))
-    fake = jnp.asarray(0.5 * rng.standard_normal((2, L)).astype(np.float32))
+def test_gan_losses_per_sample_and_grads(rng):
+    # single-period/single-fft disc + ONE jitted program for all four
+    # quantities: the behaviors under test (per-sample shapes, grad
+    # flow) don't depend on the stack width, and this keeps the CPU
+    # compile small
+    module = Discriminator(periods=(2,), fft_sizes=(256,),
+                           sample_rate=16000)
+    Ls = 2640
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, Ls), jnp.float32))["params"]
+    real = jnp.asarray(rng.standard_normal((2, Ls)).astype(np.float32))
+    fake = jnp.asarray(0.5 * rng.standard_normal((2, Ls)).astype(np.float32))
 
     def apply(p, x):
         return module.apply({"params": p}, x)
 
-    d_loss = discriminator_loss(apply, params, fake, real)
-    assert d_loss.shape == (2,)
-    g_loss, f_loss = generator_loss(apply, params, fake, real)
-    assert g_loss.shape == (2,) and f_loss.shape == (2,)
+    @jax.jit
+    def all_quantities(params, fake, real):
+        d_loss = discriminator_loss(apply, params, fake, real)
+        g_loss, f_loss = generator_loss(apply, params, fake, real)
+        g = jax.grad(lambda p: discriminator_loss(apply, p, fake,
+                                                  real).mean())(params)
+        gx = jax.grad(lambda x: sum(generator_loss(apply, params, x, real)
+                                    ).mean())(fake)
+        return d_loss, g_loss, f_loss, g, gx
 
+    d_loss, g_loss, f_loss, g, gx = all_quantities(params, fake, real)
+    assert d_loss.shape == (2,)
+    assert g_loss.shape == (2,) and f_loss.shape == (2,)
     # disc grads flow and are finite
-    g = jax.grad(lambda p: discriminator_loss(apply, p, fake, real).mean())(
-        params)
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
     # generator grads flow through fake only
-    gx = jax.grad(lambda x: sum(generator_loss(apply, params, x, real)
-                                ).mean())(fake)
     assert np.isfinite(np.asarray(gx)).all()
     assert float(jnp.abs(gx).sum()) > 0

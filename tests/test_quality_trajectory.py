@@ -19,7 +19,7 @@ import pytest
 
 from tools.quality_trajectory import GOLDEN, make_corpus, run_trajectory
 
-STEPS = 100
+STEPS = 50  # golden has a step-50 checkpoint; 8.72 -> 5.39 MelDistance
 
 
 @pytest.fixture(scope="module")

@@ -35,9 +35,13 @@ def _config(wav_folder, adv=False):
 
 
 def _args(save_path, num_epochs, resume=False, seed=11):
+    # num_pretraining_epochs=0: resume semantics don't depend on the
+    # codebook-freeze stage (covered by test_training /
+    # test_torch_parity_trainstep), and skipping it avoids compiling the
+    # freeze=True train-step variant in this file
     return argparse.Namespace(
         exp_name="resume_test", lr=4e-4, num_epochs=num_epochs,
-        num_pretraining_epochs=1, num_warmup_steps=0, val_metric="SISDR",
+        num_pretraining_epochs=0, num_warmup_steps=0, val_metric="SISDR",
         scheduler_type="constant", dropout_rate=0.5, pretrain_ckp=None,
         log_steps=1000, save_path=str(save_path), seed=seed, resume=resume)
 
