@@ -107,7 +107,10 @@ struct Decoder {
   uint8_t next() { return pos < len ? in[pos++] : 0; }
   uint32_t decode_freq(uint32_t tot) {
     range /= tot;
-    return (code - low) / range;
+    uint32_t f = (code - low) / range;
+    // clamp: corrupt/truncated input could yield f >= tot, which would
+    // send Fenwick::find past the last symbol (OOB tree read)
+    return f < tot ? f : tot - 1;
   }
   void decode_update(uint32_t cum, uint32_t cnt) {
     low += cum * range;

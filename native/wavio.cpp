@@ -88,6 +88,10 @@ WavData load_wav_file(const std::string& path) {
     out.error = "missing fmt/data chunk: " + path;
     return out;
   }
+  if (bits < 8) {  // malformed fmt chunk would divide by zero below
+    out.error = "bad bit depth: " + path;
+    return out;
+  }
 
   const uint32_t bytes_per = bits / 8;
   const uint32_t frames = data_len / (bytes_per * channels);

@@ -34,6 +34,33 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def _vma_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux
+        return 0
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _vma_guard():
+    """Bound the process's memory-map count.
+
+    Every XLA CPU compile leaves LLVM JIT mappings behind; a full-suite
+    run accumulates ~64k VMAs and segfaults inside backend_compile when
+    it hits the kernel's vm.max_map_count (default 65530) — verified by
+    monitoring /proc/self/maps during a crashing run. Dropping the jit
+    caches under pressure releases the executables (and their maps) at
+    the cost of recompiling shared graphs in later modules.
+    """
+    yield
+    if _vma_count() > 40_000:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(53)
