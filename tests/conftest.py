@@ -8,10 +8,26 @@ backend is initialized.
 
 import os
 
-# Hermetic tests: never load persistent-cache AOT code (it may have been
-# compiled by a different host CPU in the pool — cpu_aot_loader then
-# warns about mismatched machine features and numerics can drift).
-os.environ["ESC_TPU_NO_COMPILE_CACHE"] = "1"
+# Hermetic-but-warm tests: the persistent compile cache is scoped by an
+# exact CPU-feature fingerprint, so AOT code is only ever reloaded on an
+# identical host (a different pool machine gets a cold directory instead
+# of cpu_aot_loader's mismatched-machine-features numerics drift).
+os.environ["ESC_TPU_NO_COMPILE_CACHE"] = "1"  # skip the package default
+
+
+def _cpu_fingerprint() -> str:
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = [ln for ln in f
+                     if ln.startswith(("model name", "flags"))]
+        blob = "".join(sorted(set(lines)))
+    except OSError:
+        import platform
+
+        blob = platform.processor() + platform.machine()
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -22,6 +38,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.expanduser("~"), ".cache", "esc_tpu_tests",
+                 _cpu_fingerprint()))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # Compile time dominates suite wall-clock (single CPU core, everything
 # XLA-compiled). Disabling most XLA optimizations cuts compiles ~1.8x;
@@ -42,6 +63,25 @@ def _vma_count() -> int:
         return 0
 
 
+def _vma_limit() -> int:
+    """Current vm.max_map_count, after trying to raise it (root-only;
+    silently keeps the default elsewhere)."""
+    path = "/proc/sys/vm/max_map_count"
+    try:
+        try:
+            with open(path, "w") as f:
+                f.write("262144")
+        except OSError:
+            pass
+        with open(path) as f:
+            return int(f.read())
+    except OSError:  # non-Linux
+        return 1 << 30
+
+
+_VMA_THRESHOLD = int(_vma_limit() * 0.6)
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _vma_guard():
     """Bound the process's memory-map count.
@@ -49,12 +89,13 @@ def _vma_guard():
     Every XLA CPU compile leaves LLVM JIT mappings behind; a full-suite
     run accumulates ~64k VMAs and segfaults inside backend_compile when
     it hits the kernel's vm.max_map_count (default 65530) — verified by
-    monitoring /proc/self/maps during a crashing run. Dropping the jit
-    caches under pressure releases the executables (and their maps) at
-    the cost of recompiling shared graphs in later modules.
+    monitoring /proc/self/maps during a crashing run. We raise the limit
+    where permitted, and drop the jit caches under pressure: that
+    releases the executables (and their maps) at the cost of recompiling
+    shared graphs in later modules.
     """
     yield
-    if _vma_count() > 40_000:
+    if _vma_count() > _VMA_THRESHOLD:
         import gc
 
         jax.clear_caches()

@@ -14,8 +14,12 @@ from esc_tpu.utils import dict2namespace
 from tests.test_model_shapes import TINY_CONFIG
 from tests.test_training import wav_folder  # fixture  # noqa: F401
 
-DISC_CONFIG = {"sample_rate": 16000, "rates": [], "periods": [2],
-               "fft_sizes": [256], "bands": [[0.0, 0.5], [0.5, 1.0]]}
+# identical to tests/test_trainer_adv.py's fixture config so the two
+# modules share ONE compiled adversarial step (same module, disc, loss
+# weights, optimizer -> same _STEP_FN_CACHE entry and jit executable)
+DISC_CONFIG = {"sample_rate": 16000, "rates": [], "periods": [2, 3],
+               "fft_sizes": [512, 256],
+               "bands": [[0.0, 0.25], [0.25, 1.0]]}
 
 
 def _config(wav_folder, adv=False):
@@ -30,7 +34,9 @@ def _config(wav_folder, adv=False):
     }
     if adv:
         d["discriminator"] = DISC_CONFIG
-        d["loss"].update(gen_weight=1.0, feat_weight=2.0)
+        d["loss"] = {"stft_weight": 0.0, "cm_weight": 0.25,
+                     "cb_weight": 1.0, "mel_weight": 15.0,
+                     "gen_weight": 1.0, "feat_weight": 2.0}
     return dict2namespace(d)
 
 
