@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .layers import Snake1d, WNConv1d, WNConvTranspose1d
+from ...utils.host import to_host
 from .quantize import ResidualVectorQuantize
 
 __all__ = ["DAC", "DACModule", "DACFile", "loudness_db", "normalize_db"]
@@ -422,7 +423,7 @@ class DAC:
             chunk = x[i : i + n_samples]
             if len(chunk) < n_samples:
                 chunk = np.pad(chunk, (0, n_samples - len(chunk)))
-            c = np.asarray(self._encode_codes(
+            c = to_host(self._encode_codes(
                 self.variables, jnp.asarray(chunk[None]), padded))
             if n_quantizers is not None:
                 c = c[:, :n_quantizers]
@@ -445,7 +446,7 @@ class DAC:
         cl = obj.chunk_length
         for i in range(0, codes.shape[-1], cl):
             c = jnp.asarray(codes[..., i : i + cl])
-            r = np.asarray(self._decode_codes(self.variables, c,
+            r = to_host(self._decode_codes(self.variables, c,
                                               obj.padding))
             recons.append(r)
         y = np.concatenate(recons, axis=-1).reshape(-1)

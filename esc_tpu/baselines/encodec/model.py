@@ -32,6 +32,7 @@ import numpy as np
 
 from .layers import SConv1d, SConvTranspose1d, SEANetResnetBlock, SLSTM
 from .quantize import EncodecRVQ
+from ...utils.host import to_host
 
 __all__ = ["SEANetEncoder", "SEANetDecoder", "EncodecModule", "Encodec"]
 
@@ -261,12 +262,12 @@ class Encodec:
         """24 kHz (B, L) -> codes (B, n_q, T) at the target bandwidth."""
         self._ensure_init()
         x = jnp.asarray(audio, jnp.float32)
-        return np.asarray(
+        return to_host(
             _encodec_encode_jit(self.module, self.variables, x, self.n_q))
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         self._ensure_init()
-        return np.asarray(_encodec_decode_jit(
+        return to_host(_encodec_decode_jit(
             self.module, self.variables, jnp.asarray(codes)))
 
     def __call__(self, audio: np.ndarray,

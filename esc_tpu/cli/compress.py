@@ -22,7 +22,7 @@ from ..convert import load_torch_checkpoint
 from ..checkpoint import load_checkpoint
 from ..models import make_model
 from ..train.data import load_wav, save_wav
-from ..utils import read_yaml
+from ..utils import read_yaml, to_host
 from .bitstream import pack_codes
 
 
@@ -102,10 +102,10 @@ def main(args):
     kbps = args.num_streams * 1.5
     os.makedirs(args.save_path, exist_ok=True)
     save_wav(os.path.join(args.save_path, f"decoded_{kbps}kbps_{fname}"),
-             np.asarray(recon)[0])
+             to_host(recon)[0])
     np.save(os.path.join(args.save_path, f"encoded_{kbps}kbps_{stem}.npy"),
-            np.asarray(codes))
-    blob = pack_codes(np.asarray(codes), model.config["codebook_size"],
+            to_host(codes))
+    blob = pack_codes(to_host(codes), model.config["codebook_size"],
                       feat_shape)
     with open(os.path.join(args.save_path,
                            f"encoded_{kbps}kbps_{stem}.escb"), "wb") as f:

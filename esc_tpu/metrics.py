@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.mel import MEL_BINS, MEL_WINDOWS, mel_spectrogram
+from .utils.host import to_host
 
 __all__ = ["PESQ", "MelSpectrogramDistance", "SISDR", "EntropyCounter",
            "mel_distance", "sisdr", "mel_distance_masked", "sisdr_masked"]
@@ -40,8 +41,8 @@ class PESQ:
     """
 
     def __call__(self, x, y, lengths=None) -> np.ndarray:
-        x = np.asarray(x)
-        y = np.asarray(y)
+        x = to_host(x)
+        y = to_host(y)
         if not HAVE_PESQ:
             return np.full((x.shape[0],), np.nan, dtype=np.float32)
         out = []
@@ -176,19 +177,19 @@ def sisdr_masked(x: jnp.ndarray, y: jnp.ndarray,
 class MelSpectrogramDistance:
     def __call__(self, x, y, lengths=None):
         if lengths is not None:
-            return np.asarray(mel_distance_masked(
+            return to_host(mel_distance_masked(
                 jnp.asarray(x), jnp.asarray(y),
                 jnp.asarray(lengths, dtype=jnp.int32)))
-        return np.asarray(mel_distance(jnp.asarray(x), jnp.asarray(y)))
+        return to_host(mel_distance(jnp.asarray(x), jnp.asarray(y)))
 
 
 class SISDR:
     def __call__(self, x, y, lengths=None):
         if lengths is not None:
-            return np.asarray(sisdr_masked(
+            return to_host(sisdr_masked(
                 jnp.asarray(x), jnp.asarray(y),
                 jnp.asarray(lengths, dtype=jnp.int32)))
-        return np.asarray(sisdr(jnp.asarray(x), jnp.asarray(y)))
+        return to_host(sisdr(jnp.asarray(x), jnp.asarray(y)))
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -249,14 +250,13 @@ class EntropyCounter:
                 -(-np.asarray(lengths) // samples_per_code),
                 codes.shape[-1]).astype(np.int32)
             self.total_counts += int(t_valid.sum())
-            self.counts += np.asarray(
-                _code_histograms_masked(codes, self.codebook_size,
-                                        jnp.asarray(t_valid)),
-                dtype=np.float64)
+            self.counts += to_host(_code_histograms_masked(
+                codes, self.codebook_size,
+                jnp.asarray(t_valid))).astype(np.float64)
             return
         self.total_counts += codes.shape[0] * codes.shape[-1]
-        self.counts += np.asarray(
-            _code_histograms(codes, self.codebook_size), dtype=np.float64)
+        self.counts += to_host(
+            _code_histograms(codes, self.codebook_size)).astype(np.float64)
 
     def _form(self) -> None:
         assert self.total_counts > 0, \

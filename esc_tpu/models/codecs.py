@@ -26,6 +26,7 @@ import numpy as np
 
 from ..modules.vq import ProductResidualVectorQuantize, ProductVectorQuantize
 from ..ops.stft import audio_reconstruct, spec_transform
+from ..utils.host import to_host
 from .base import Decoder, Encoder
 from .csrvq import CrossScaleRVQDecoder
 
@@ -439,7 +440,7 @@ class _CodecWrapper:
             hi = min(total_codes, end + margin)
             seg = x[:, lo * spc : hi * spc]
             c, _ = self.encode(seg, num_streams)
-            pieces.append(np.asarray(c)[..., start - lo : start - lo
+            pieces.append(to_host(c)[..., start - lo : start - lo
                                         + (end - start)])
         codes = np.concatenate(pieces, axis=-1)
         return jnp.asarray(codes), fs_full
@@ -454,7 +455,7 @@ class _CodecWrapper:
         crossfade, so memory stays constant in file length.
         """
         self._ensure_init()
-        codes = np.asarray(codes)
+        codes = to_host(codes)
         spc = self._samples_per_code()
         total_codes = codes.shape[-1]
         align = max(1, self.module.window_size // self.module.overlap)
@@ -473,7 +474,7 @@ class _CodecWrapper:
             hi = min(total_codes, end + margin)
             seg_codes = jnp.asarray(codes[..., lo:hi])
             seg_fs = (H, (hi - lo) * self.module.overlap)
-            y = np.asarray(self.decode(seg_codes, seg_fs))
+            y = to_host(self.decode(seg_codes, seg_fs))
             keep = y[:, (start - lo) * spc
                      : (start - lo + end - start) * spc].copy()
             if out is None:

@@ -13,6 +13,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..metrics import EntropyCounter
+from ..utils.host import to_host
 
 __all__ = ["eval_epoch"]
 
@@ -56,18 +57,22 @@ def eval_epoch(model, eval_loader, metric_funcs: Dict,
             # collate yields a bare equal-length array
             x, lengths = batch if isinstance(batch, tuple) else (batch, None)
             out = model(_prep(x), None, num_streams=s)
-            recon = np.asarray(out["recon_audio"])
-            codes = np.asarray(out["codes"])
+            # recon/codes STAY on device: the jitted metrics consume them
+            # in place and only per-sample scores cross to the host
+            # (PESQ pulls the audio itself when its C lib is present).
+            # Downloading recon here would cost two needless full-audio
+            # transfers per batch (D2H + re-upload into the metric jits).
+            recon, codes = out["recon_audio"], out["codes"]
             if lengths is not None:
                 keep = lengths > 0  # drop final-batch padding rows
                 for k, fn in metric_funcs.items():
-                    vals = np.asarray(fn(x, recon, lengths))
+                    vals = to_host(fn(x, recon, lengths))
                     perf[k].extend(vals[keep].tolist())
-                e_counter.update(codes[keep], lengths=lengths[keep],
+                e_counter.update(to_host(codes)[keep], lengths=lengths[keep],
                                  samples_per_code=spc)
             else:
                 for k, fn in metric_funcs.items():
-                    perf[k].extend(np.asarray(fn(x, recon)).tolist())
+                    perf[k].extend(to_host(fn(x, recon)).tolist())
                 e_counter.update(codes)
         def _mean(v):  # all-NaN (e.g. PESQ lib absent) -> nan, silently
             v = np.asarray(v, dtype=np.float64)

@@ -85,7 +85,8 @@ def main():
              + 0.2 * np.sin(2 * np.pi * 880 * t)).astype(np.float32)[None]
 
     codes, shape = model.encode(x, num_streams=args.num_streams)
-    recon = np.asarray(model.decode(codes, shape))
+    from esc_tpu.utils import to_host
+    recon = to_host(model.decode(codes, shape))
 
     kbps = args.num_streams * 1.5
     print(f"codes: {codes.shape} int10 @ {kbps:.1f} kbps "
