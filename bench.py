@@ -43,29 +43,37 @@ def main():
     codes, feat_shape, recon = model.roundtrip(x, num_streams=num_streams)
     jax.block_until_ready(recon)
 
-    def roundtrip():
-        c, fs, r = model.roundtrip(x, num_streams=num_streams)
-        jax.block_until_ready(r)
-        return r
-
-    roundtrip()  # one more steady-state warmup
-
-    # several timed repetitions; report the best block to cut host-side
-    # jitter (the device work itself is deterministic)
-    iters, blocks = 10, 5
-    best = float("inf")
-    for _ in range(blocks):
+    def measure(iters, depth):
+        """Sustained serving loop with up to ``depth`` batches in flight
+        (esc_tpu.serving pattern): dispatch overlaps H2D + compute of
+        later batches with completion of earlier ones. depth=1 is the
+        fully serial loop (block every batch)."""
+        from collections import deque
+        inflight = deque()
         t0 = time.perf_counter()
         for _ in range(iters):
-            roundtrip()
-        best = min(best, time.perf_counter() - t0)
+            _, _, r = model.roundtrip(x, num_streams=num_streams)
+            inflight.append(r)
+            if len(inflight) >= depth:
+                jax.block_until_ready(inflight.popleft())
+        while inflight:
+            jax.block_until_ready(inflight.popleft())
+        return time.perf_counter() - t0
 
+    measure(4, 4)  # steady-state warmup
+    iters, blocks = 20, 5
     audio_seconds = iters * B * (L / SR)
-    rtf = audio_seconds / best
+    best = {d: float("inf") for d in (1, 4)}
+    for _ in range(blocks):
+        for d in best:
+            best[d] = min(best[d], measure(iters, d))
+    serial_rtf = audio_seconds / best[1]
+    rtf = audio_seconds / best[4]
     print(json.dumps({
         "metric": "encode_decode_rtf_per_chip",
         "value": round(rtf, 3),
-        "unit": "x_realtime (batch=16, 3s clips, 9kbps, ESC-Base)",
+        "unit": ("x_realtime sustained, 4 in flight (batch=16, 3s clips, "
+                 f"9kbps, ESC-Base; serial {serial_rtf:.0f}x)"),
         "vs_baseline": round(rtf / 1.0, 3),
     }))
 

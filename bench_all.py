@@ -31,6 +31,49 @@ def _best_time(fn, iters=10, blocks=5):
     return best / iters
 
 
+def check_kernels_onchip():
+    """Mosaic-lowered parity for the Pallas kernels on the real backend
+    (interpret-mode CI can't catch TPU lowering regressions — ADVICE r2):
+    fused window attention (fp32 exact vs jnp; bf16 within rounding) at
+    every ESC-Base head geometry, incl. the sliced-store head-group path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esc_tpu.ops.pallas.attention_kernels import fused_window_attention
+
+    rng = np.random.default_rng(3)
+    for G, C, nh in [(64, 96, 12), (64, 384, 24), (64, 192, 24)]:
+        N, hd = 16, C // nh
+        scale = hd ** -0.5
+        q, k, v = (jnp.asarray(rng.standard_normal((G, N, C))
+                               .astype(np.float32)) for _ in range(3))
+        bias = jnp.asarray(rng.standard_normal((nh, N, N)).astype(np.float32))
+        qh = q.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+        kh = k.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+        vh = v.reshape(G, N, nh, hd).transpose(0, 2, 1, 3)
+        s = jnp.einsum("ghnd,ghmd->ghnm", qh * scale, kh,
+                       precision=jax.lax.Precision.HIGHEST) + bias[None]
+        p = jax.nn.softmax(s, -1)
+        ref = jnp.einsum("ghnm,ghmd->ghnd", p, vh,
+                         precision=jax.lax.Precision.HIGHEST) \
+            .transpose(0, 2, 1, 3).reshape(G, N, C)
+        out = fused_window_attention(q, k, v, bias, None, num_heads=nh,
+                                     scale=scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-5,
+                                   err_msg=f"fp32 G={G} C={C} nh={nh}")
+        outb = fused_window_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), bias, None, num_heads=nh, scale=scale)
+        np.testing.assert_allclose(np.asarray(outb), np.asarray(ref),
+                                   atol=6e-2, rtol=6e-2,
+                                   err_msg=f"bf16 G={G} C={C} nh={nh}")
+    return {"metric": "pallas_onchip_parity", "value": 1,
+            "unit": "fp32+bf16 fused attention vs jnp, all ESC-Base "
+                    "head geometries", "vs_baseline": 1}
+
+
 ESC_BASE = dict(
     backbone="transformer", in_dim=2, in_freq=192,
     h_dims=[45, 72, 96, 144, 192, 384], max_streams=6,
@@ -61,6 +104,81 @@ def bench_esc(config, name, B=16, L=47920, sr=16000, dtype=None):
     return {"metric": f"{name}_rtf_per_chip", "value": round(rtf, 1),
             "unit": f"x_realtime (batch={B}, 3s clips, 9kbps)",
             "vs_baseline": round(rtf, 1)}
+
+
+def bench_esc_latency(L=47920, sr=16000):
+    """Batch-1 serving latency: ms to encode+decode ONE 3 s clip,
+    including H2D of the clip (the serving-relevant figure a codec user
+    sees; VERDICT r2 weak-2)."""
+    import jax
+    import numpy as np
+
+    from esc_tpu.models import ESC
+
+    model = ESC(**ESC_BASE)
+    model.init_params(example_len=L)
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((1, L)).astype(np.float32)
+
+    def roundtrip():
+        _, _, recon = model.roundtrip(x, num_streams=6)
+        return recon
+
+    jax.block_until_ready(roundtrip())
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(roundtrip())
+        times.append(time.perf_counter() - t0)
+    t = sorted(times)
+    p50, p95 = t[len(t) // 2], t[int(len(t) * 0.95)]
+    return {"metric": "esc_base_batch1_latency_ms",
+            "value": round(p50 * 1e3, 2),
+            "unit": f"ms p50 per 3s clip, encode+decode (p95 "
+                    f"{p95 * 1e3:.2f} ms)",
+            "vs_baseline": round((L / sr) / p50, 1)}
+
+
+def bench_esc_batch_curve(L=47920, sr=16000):
+    """RTF vs batch size, serial and 4-deep pipelined (esc_tpu.serving):
+    quantifies the dispatch/transfer overhead the pipeline hides."""
+    import jax
+    import numpy as np
+
+    from esc_tpu.models import ESC
+    from esc_tpu.serving import stream_map
+
+    model = ESC(**ESC_BASE)
+    model.init_params(example_len=L)
+    rng = np.random.default_rng(53)
+    curve = {}
+    for B in (1, 4, 8, 16, 32):
+        x = rng.standard_normal((B, L)).astype(np.float32)
+
+        def fn(xb):
+            _, _, recon = model.roundtrip(xb, num_streams=6)
+            return recon
+
+        jax.block_until_ready(fn(x))  # compile + warm
+        iters = 20
+        row = {}
+        for depth, tag in ((1, "serial"), (4, "pipelined")):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for out in stream_map(fn, (x for _ in range(iters)),
+                                      depth=depth, to_host=False):
+                    jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            row[tag] = round(iters * B * (L / sr) / best, 1)
+        curve[B] = row
+    b16 = curve[16]
+    return {"metric": "esc_base_rtf_vs_batch",
+            "value": b16["pipelined"],
+            "unit": "x_realtime pipelined@16; full curve in extra",
+            "vs_baseline": round(b16["pipelined"] / max(b16["serial"], 1e-9),
+                                 2),
+            "extra": curve}
 
 
 def bench_esc_train(B=9, L=47920):
@@ -154,7 +272,10 @@ def main():
         return bench_esc(ESC_BASE, "esc_base_bf16", dtype=jnp.bfloat16)
 
     jobs = [
+        ("pallas_parity", check_kernels_onchip),
         ("esc_base", lambda: bench_esc(ESC_BASE, "esc_base")),
+        ("esc_base_latency", bench_esc_latency),
+        ("esc_base_curve", bench_esc_batch_curve),
         ("esc_base_bf16", _bf16),
         ("esc_large", lambda: bench_esc({**ESC_BASE, "swin_depth": 4},
                                         "esc_large")),

@@ -433,15 +433,22 @@ class _CodecWrapper:
         if need > L:
             x = np.pad(x, ((0, 0), (0, need - L)))
 
-        pieces = []
+        metas, segs = [], []
         for start in range(0, total_codes, chunk):
             end = min(start + chunk, total_codes)
             lo = max(0, start - margin)
             hi = min(total_codes, end + margin)
-            seg = x[:, lo * spc : hi * spc]
-            c, _ = self.encode(seg, num_streams)
-            pieces.append(to_host(c)[..., start - lo : start - lo
-                                        + (end - start)])
+            metas.append((start, lo, end))
+            segs.append(x[:, lo * spc : hi * spc])
+        # pipelined: chunk i+1's H2D + encode overlaps chunk i's D2H
+        # (esc_tpu.serving.stream_map with 2 chunks in flight)
+        from ..serving import stream_map
+        pieces = [
+            c[..., start - lo : start - lo + (end - start)]
+            for (start, lo, end), c in zip(
+                metas, stream_map(
+                    lambda s: self.encode(s, num_streams)[0], segs,
+                    depth=2))]
         codes = np.concatenate(pieces, axis=-1)
         return jnp.asarray(codes), fs_full
 
@@ -467,14 +474,22 @@ class _CodecWrapper:
             return self.decode(codes, feat_shape)
 
         H = feat_shape[0]
-        out = None
+        metas = []
         for start in range(0, total_codes, chunk):
             end = min(start + chunk, total_codes)
             lo = max(0, start - margin)
             hi = min(total_codes, end + margin)
-            seg_codes = jnp.asarray(codes[..., lo:hi])
+            metas.append((start, lo, hi, end))
+
+        def _dec(meta):
+            start, lo, hi, end = meta
             seg_fs = (H, (hi - lo) * self.module.overlap)
-            y = to_host(self.decode(seg_codes, seg_fs))
+            return self.decode(jnp.asarray(codes[..., lo:hi]), seg_fs)
+
+        from ..serving import stream_map
+        out = None
+        for (start, lo, hi, end), y in zip(
+                metas, stream_map(_dec, metas, depth=2)):
             keep = y[:, (start - lo) * spc
                      : (start - lo + end - start) * spc].copy()
             if out is None:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.resample import resample_julius
 from ..ops.stft import _dft_matrices, frame_signal
 
 __all__ = ["Discriminator", "MPD", "MSD", "MRD", "BANDS"]
@@ -98,19 +99,19 @@ class MPD(nn.Module):
 
 class MSD(nn.Module):
     """Multi-scale waveform discriminator (discriminator.py:69-99).
-    Disabled by the reference adversarial config (rates=[]); provided for
-    completeness with mean-pool decimation in place of audiotools'
-    resampler."""
+    Disabled by the reference adversarial config (rates=[]); the input
+    pyramid uses the julius/audiotools-exact windowed-sinc resampler
+    (reference resamples via AudioSignal.resample,
+    discriminator.py:87-89)."""
 
     rate: int = 1
     sample_rate: int = 16000
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
-        B, L = x.shape
         if self.rate > 1:
-            r = self.rate
-            x = x[:, : (L // r) * r].reshape(B, -1, r).mean(-1)
+            x = resample_julius(x, self.sample_rate,
+                                self.sample_rate // self.rate)
         x = x[:, :, None]  # (B, L, C=1) NWC
 
         fmap = []

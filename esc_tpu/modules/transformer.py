@@ -133,7 +133,8 @@ class WindowAttention(nn.Module):
         from ..ops.pallas.attention_kernels import fused_attention_profitable
         min_windows = 512 if C >= 256 else 2048
         use_fused = (not training and jax.default_backend() == "tpu"
-                     and self.dtype == jnp.float32 and B_ >= min_windows
+                     and self.dtype in (jnp.float32, jnp.bfloat16)
+                     and B_ >= min_windows
                      and fused_attention_profitable(nh, hd))
         if use_fused:
             # fused Pallas path: softmax + both batched matmuls stay in

@@ -66,6 +66,14 @@ def _heads_per_tile(nh: int, hd: int) -> int:
     return 1
 
 
+def _precision(dtype):
+    # fp32 inputs match the jnp path bit-for-bit via HIGHEST; bf16 inputs
+    # feed the MXU natively (fp32 accumulate via preferred_element_type),
+    # where a HIGHEST request would trigger multi-pass emulation.
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
 def _kernel(nh: int, scale: float, q_ref, k_ref, v_ref, bias_ref, mask_ref,
             out_ref):
     q = q_ref[:]  # (T, N, C_blk) — channel block holding `nh` heads
@@ -73,13 +81,14 @@ def _kernel(nh: int, scale: float, q_ref, k_ref, v_ref, bias_ref, mask_ref,
     v = v_ref[:]
     T, N, C = q.shape
     hd = C // nh
+    prec = _precision(q.dtype)
     for h in range(nh):
         sl = slice(h * hd, (h + 1) * hd)
         s = jax.lax.dot_general(
-            q[:, :, sl] * scale, k[:, :, sl],
+            (q[:, :, sl] * scale).astype(q.dtype), k[:, :, sl],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (T, N, N)
+            precision=prec)                               # (T, N, N) fp32
         s = s + bias_ref[h][None]
         s = s + mask_ref[:]
         p = jax.nn.softmax(s, axis=-1)
@@ -88,10 +97,10 @@ def _kernel(nh: int, scale: float, q_ref, k_ref, v_ref, bias_ref, mask_ref,
         # concat kept nh (T, N, hd) buffers alive and overflowed VMEM at
         # nh=24)
         out_ref[:, :, sl] = jax.lax.dot_general(
-            p, v[:, :, sl],
+            p.astype(v.dtype), v[:, :, sl],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (T, N, hd)
+            precision=prec)                               # (T, N, hd)
 
 
 def _kernel4d(scale: float, q_ref, k_ref, v_ref, bias_ref, mask_ref,
@@ -100,20 +109,21 @@ def _kernel4d(scale: float, q_ref, k_ref, v_ref, bias_ref, mask_ref,
     k = k_ref[:]
     v = v_ref[:]
     T, hpt, N, hd = q.shape
+    prec = _precision(q.dtype)
     for h in range(hpt):
         s = jax.lax.dot_general(
-            q[:, h] * scale, k[:, h],
+            (q[:, h] * scale).astype(q.dtype), k[:, h],
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (T, N, N)
+            precision=prec)                               # (T, N, N) fp32
         s = s + bias_ref[h][None]
         s = s + mask_ref[:]
         p = jax.nn.softmax(s, axis=-1)
         out_ref[:, h] = jax.lax.dot_general(
-            p, v[:, h],
+            p.astype(v.dtype), v[:, h],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)          # (T, N, hd)
+            precision=prec)                               # (T, N, hd)
 
 
 def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -123,10 +133,34 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                            interpret: bool = False,
                            heads_per_tile: int | None = None) -> jnp.ndarray:
     """q/k/v: (G, N, C) window tokens; bias: (nh, N, N); mask: (G, N, N)
-    static 0/-100 shift mask or None. Returns (G, N, C)."""
+    static 0/-100 shift mask or None. Returns (G, N, C) float32.
+
+    bf16 q/k/v stay bf16 through HBM->VMEM (half the bandwidth) and feed
+    the MXU natively with fp32 accumulation — scores, bias add, and
+    softmax are always fp32, mirroring the unfused bf16 einsum path.
+    """
     G, N, C = q.shape
     nh = num_heads
     hd = C // nh
+    in_dtype = (jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32)
+
+    # Head-count padding for lane alignment (e.g. nh=24/hd=8 -> nh=32:
+    # two 128-channel 16-head groups instead of the slow 4D layout).
+    # Zero-padded heads are self-neutralizing: zero q/k give uniform
+    # softmax over zero v -> zero output, sliced away below.
+    if (nh > MAX_HEADS_PER_TILE and hd > 0 and 128 % hd == 0
+            and nh % (128 // hd) != 0 and heads_per_tile is None):
+        gsz = 128 // hd
+        nh_pad = ((nh + gsz - 1) // gsz) * gsz
+        cpad = (nh_pad - nh) * hd
+        q, k, v = (jnp.pad(t, ((0, 0), (0, 0), (0, cpad)))
+                   for t in (q, k, v))
+        bias = jnp.pad(bias, ((0, nh_pad - nh), (0, 0), (0, 0)))
+        out = fused_window_attention(q, k, v, bias, mask,
+                                     num_heads=nh_pad, scale=scale,
+                                     interpret=interpret)
+        return out[:, :, :C]
+
     hpt = heads_per_tile or _heads_per_tile(nh, hd)
     g_pad = ((G + TILE_G - 1) // TILE_G) * TILE_G
     if g_pad != G:
@@ -157,8 +191,8 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_specs=qkv_spec,
             out_shape=jax.ShapeDtypeStruct((g_pad, N, C), jnp.float32),
             interpret=interpret,
-        )(q.astype(jnp.float32), k.astype(jnp.float32),
-          v.astype(jnp.float32), bias.astype(jnp.float32),
+        )(q.astype(in_dtype), k.astype(in_dtype),
+          v.astype(in_dtype), bias.astype(jnp.float32),
           mask.astype(jnp.float32))
         return out[:G]
 
@@ -175,8 +209,8 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             out_specs=qkv_spec,
             out_shape=jax.ShapeDtypeStruct((g_pad, N, C), jnp.float32),
             interpret=interpret,
-        )(q.astype(jnp.float32), k.astype(jnp.float32),
-          v.astype(jnp.float32), bias.astype(jnp.float32),
+        )(q.astype(in_dtype), k.astype(in_dtype),
+          v.astype(in_dtype), bias.astype(jnp.float32),
           mask.astype(jnp.float32))
         return out[:G]
 
@@ -186,7 +220,7 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # transposes are the same ones the unfused path performs to split
     # heads.
     def _split(t):
-        return t.astype(jnp.float32).reshape(g_pad, N, nh, hd) \
+        return t.astype(in_dtype).reshape(g_pad, N, nh, hd) \
             .transpose(0, 2, 1, 3)  # (G, nh, N, hd)
 
     qkv_spec = pl.BlockSpec((TILE_G, hpt, N, hd), lambda i, j: (i, j, 0, 0),

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["resample", "resample_kernel"]
+__all__ = ["resample", "resample_kernel", "resample_julius",
+           "julius_kernel"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -69,6 +70,66 @@ def resample(x: jnp.ndarray, orig_sr: int, new_sr: int,
         lhs_dilation=(up,),
         dimension_numbers=("NCH", "OIH", "NCH"),
     )[:, 0, :out_len]
+    if squeeze:
+        y = y[0]
+    return y
+
+
+@functools.lru_cache(maxsize=None)
+def julius_kernel(old_sr: int, new_sr: int, zeros: int = 24,
+                  rolloff: float = 0.945) -> np.ndarray:
+    """julius.ResampleFrac's phase-kernel bank, bit-faithful.
+
+    audiotools' ``AudioSignal.resample`` (used by the reference MSD,
+    esc/models/discriminator.py:87-89) delegates to julius: a clamped
+    sinc with a cos^2 window, one kernel row per output phase. Inputs
+    must already be gcd-reduced. Returns ``(new_sr, 2*width + old_sr)``
+    float32 rows; ``width = ceil(zeros * old_sr / (rolloff * min(sr)))``.
+    """
+    sr = rolloff * min(old_sr, new_sr)
+    width = int(math.ceil(zeros * old_sr / sr))
+    idx = np.arange(-width, width + old_sr, dtype=np.float64)
+    rows = []
+    for i in range(new_sr):
+        t = (-i / new_sr + idx / old_sr) * sr
+        t = np.clip(t, -zeros, zeros) * np.pi
+        window = np.cos(t / zeros / 2) ** 2
+        rows.append(np.sinc(t / np.pi) * window)
+    scale = sr / old_sr
+    return (np.stack(rows) * scale).astype(np.float32)
+
+
+def resample_julius(x: jnp.ndarray, orig_sr: int, new_sr: int,
+                    zeros: int = 24, rolloff: float = 0.945) -> jnp.ndarray:
+    """Resample (B, L) or (L,) with julius/audiotools-exact semantics:
+    replicate edge padding and floor output length
+    ``int(L * new_sr / orig_sr)`` (julius.core.ResampleFrac.forward).
+
+    One grouped conv with ``stride=old_sr`` over the phase bank — XLA
+    maps it onto the MXU; the per-phase outputs interleave by reshape.
+    """
+    if orig_sr == new_sr:
+        return x
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    g = math.gcd(int(orig_sr), int(new_sr))
+    old, new = orig_sr // g, new_sr // g
+    k = julius_kernel(old, new, zeros, rolloff)
+    width = (k.shape[1] - old) // 2
+    B, L = x.shape
+    xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (width, width + old)),
+                 mode="edge")
+    ys = jax.lax.conv_general_dilated(
+        xp[:, None, :],                       # (B, C=1, L')
+        jnp.asarray(k)[:, None, :],           # (O=new, I=1, K)
+        window_strides=(old,),
+        padding=[(0, 0)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )                                         # (B, new, T)
+    y = ys.transpose(0, 2, 1).reshape(B, -1)  # interleave phases
+    out_len = int(L * new / old)
+    y = y[:, :out_len]
     if squeeze:
         y = y[0]
     return y

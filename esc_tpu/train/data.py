@@ -107,6 +107,13 @@ class EvalSet:
         return self._max_length
 
 
+class _LoaderError:
+    """Wraps a loader-worker exception for queue transport."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class _Prefetcher:
     """Thread-pool batch assembler with a bounded prefetch queue."""
 
@@ -148,6 +155,9 @@ class _Prefetcher:
         return out, lengths
 
     def _run(self):
+        # A worker exception is enqueued and re-raised in the consumer
+        # (VERDICT r2 item 6): a corrupt wav must fail the epoch loudly,
+        # not silently truncate it via the bare sentinel.
         try:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(self.workers) as pool:
@@ -159,6 +169,8 @@ class _Prefetcher:
                         self.q.put(futs.pop(0).result())
                 for f in futs:
                     self.q.put(f.result())
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            self.q.put(_LoaderError(e))
         finally:
             self.q.put(None)
 
@@ -167,6 +179,9 @@ class _Prefetcher:
             item = self.q.get()
             if item is None:
                 return
+            if isinstance(item, _LoaderError):
+                raise RuntimeError(
+                    "data loader worker failed") from item.exc
             yield item
 
 

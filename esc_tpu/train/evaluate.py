@@ -68,7 +68,13 @@ def eval_epoch(model, eval_loader, metric_funcs: Dict,
                 for k, fn in metric_funcs.items():
                     vals = to_host(fn(x, recon, lengths))
                     perf[k].extend(vals[keep].tolist())
-                e_counter.update(to_host(codes)[keep], lengths=lengths[keep],
+                codes_h = to_host(codes)
+                if spc is None:
+                    # model lacks _samples_per_code(): derive the frame
+                    # hop from the padded length / code frames, so
+                    # padding never silently inflates total_counts
+                    spc = max(1, round(x.shape[-1] / codes_h.shape[-1]))
+                e_counter.update(codes_h[keep], lengths=lengths[keep],
                                  samples_per_code=spc)
             else:
                 for k, fn in metric_funcs.items():

@@ -146,10 +146,10 @@ class Trainer:
 
     def _build_step_fn(self, module):
         weights = self.loss_weights
+        tx = self.tx  # close over the optimizer, not self: _STEP_FN_CACHE
+        # must not pin the Trainer (and its model/loaders) for process life
 
-        @functools.partial(jax.jit, static_argnames=("freeze",),
-                           donate_argnums=(0,))
-        def train_step(state, batch, num_streams, freeze):
+        def step_core(state, batch, num_streams, freeze):
             """num_streams is a TRACED int32 scalar: stream masking is
             multiply-by-zero (reference csrvq.py:43-45 semantics), so one
             compilation covers every sampled bitrate — only the freeze
@@ -173,12 +173,43 @@ class Trainer:
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             aux["loss"] = loss
             return (params, opt_state), aux
 
+        train_step = functools.partial(
+            jax.jit, static_argnames=("freeze",), donate_argnums=(0,)
+        )(step_core)
+        # un-jitted core, for lax.scan multi-step composition
+        # (make_multi_step): dispatch-bound small-model training runs K
+        # steps per device dispatch instead of one.
+        train_step.core = step_core
         return train_step
+
+
+def make_multi_step(step_core, freeze: bool):
+    """K train steps in ONE device dispatch via ``lax.scan``.
+
+    For dispatch-bound regimes (small models, or a remote-dispatch
+    tunnel) the per-step host round-trip dominates compute; scanning K
+    steps amortizes it to 1/K. ``step_core`` is the un-jitted core from
+    ``Trainer._make_step_fn(...).core``.
+
+    The returned fn takes ``(state, batches (K, B, L), num_streams (K,))``
+    and returns ``(state, aux-of-(K,)-arrays)``. ``freeze`` is baked per
+    compilation (same 2-variant budget as the single-step path).
+    """
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, batches, num_streams):
+        def body(carry, inp):
+            b, ns = inp
+            carry, aux = step_core(carry, b, ns, freeze)
+            return carry, aux
+
+        return jax.lax.scan(body, state, (batches, num_streams))
+
+    return multi_step
 
     # ------------------------------------------------------------------
     def train(self):
@@ -214,7 +245,7 @@ class Trainer:
         step_fn = self._make_step_fn(model.module)
 
         step = self.start_step
-        t0 = time.time()
+        t0, window_steps = time.time(), 0
         while step < args.max_train_steps:
             # Epoch-aligned iteration: a resumed run replays the exact
             # data order of the uninterrupted one (set_epoch + in-epoch
@@ -237,14 +268,20 @@ class Trainer:
                 s = quantization_dropout(args.dropout_rate,
                                          model.max_streams, self.rng)
                 freeze = step < args.pretraining_steps
-                self.timer.tic()
+                if window_steps == 0:
+                    self.timer.tic()
                 state, aux = step_fn(state, self.dp.shard(batch),
                                      jnp.int32(s), freeze=freeze)
                 self._state = state
-                jax.block_until_ready(aux["loss"])
-                self.timer.toc()
+                window_steps += 1
                 self._log_accumulate(aux)
 
+                if (step + 1) % args.log_steps == 0:
+                    # ONE host sync per log window: dispatch overlaps
+                    # compute between boundaries (VERDICT r2 item 8).
+                    jax.block_until_ready(aux["loss"])
+                    self.timer.toc_window(window_steps)
+                    window_steps = 0
                 if process_is_main():
                     if step > args.pretraining_steps \
                             and step % args.train_steps == 0 and step > 0:

@@ -88,6 +88,7 @@ class TrainerAdv(Trainer):
     def _build_step_fn(self, module):
         weights = self.loss_weights
         disc_module = self.disc_module
+        tx, tx_disc = self.tx, self.tx_disc  # don't pin self in the cache
 
         def disc_apply(p, x):
             return disc_module.apply({"params": p}, x)
@@ -126,7 +127,7 @@ class TrainerAdv(Trainer):
 
             (loss, aux), grads = jax.value_and_grad(gen_loss_fn,
                                                     has_aux=True)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
+            updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
 
             # ---- discriminator update -------------------------------
@@ -139,7 +140,7 @@ class TrainerAdv(Trainer):
                                               batch).mean()
 
                 d_loss, d_grads = jax.value_and_grad(disc_loss_fn)(d_params)
-                d_updates, d_opt_state = self.tx_disc.update(
+                d_updates, d_opt_state = tx_disc.update(
                     d_grads, d_opt_state, d_params)
                 d_params = optax.apply_updates(d_params, d_updates)
 
@@ -193,7 +194,7 @@ class TrainerAdv(Trainer):
         if getattr(args, "pretrain_ckp", None) and process_is_main():
             self.evaluate(-1)  # pre-eval (trainer_adv.py:133-135)
 
-        step, t0 = self.start_step, time.time()
+        step, t0, window_steps = self.start_step, time.time(), 0
         while step < args.max_train_steps:
             # Epoch-aligned iteration for exact resume (see Trainer.train).
             epoch, offset = divmod(step, args.train_steps)
@@ -212,10 +213,18 @@ class TrainerAdv(Trainer):
                 s = quantization_dropout(args.dropout_rate,
                                          model.max_streams, self.rng)
                 freeze = step < args.pretraining_steps
+                if window_steps == 0:
+                    self.timer.tic()
                 state, aux = step_fn(state, self.dp.shard(batch),
                                      jnp.int32(s), freeze=freeze)
                 self._state = state
+                window_steps += 1
                 self._log_accumulate(aux)
+                if (step + 1) % args.log_steps == 0:
+                    # one sync per log window, as in Trainer.train
+                    jax.block_until_ready(aux["loss"])
+                    self.timer.toc_window(window_steps)
+                    window_steps = 0
                 if process_is_main():
                     if step > args.pretraining_steps \
                             and step % args.train_steps == 0 and step > 0:

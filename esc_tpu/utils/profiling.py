@@ -63,6 +63,21 @@ class StepTimer:
                 self._times.pop(0)
         return dt
 
+    def toc_window(self, n_steps: int) -> float:
+        """Close a window of ``n_steps`` dispatched steps with ONE host
+        sync (callers block_until_ready before calling): records the
+        window's per-step average. Keeps the device free to overlap
+        dispatch with compute between log boundaries — per-step tic/toc
+        serializes host and device every step (VERDICT r2 item 8).
+        """
+        dt = (time.perf_counter() - self._t0) / max(1, n_steps)
+        self._count += 1
+        if self._count > self.warmup:
+            self._times.append(dt)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        return dt
+
     def summary(self) -> Dict[str, float]:
         if not self._times:
             return {}

@@ -64,15 +64,34 @@ def _vma_count() -> int:
 
 
 def _vma_limit() -> int:
-    """Current vm.max_map_count, after trying to raise it (root-only;
-    silently keeps the default elsewhere)."""
+    """Current vm.max_map_count, after trying to raise it.
+
+    NOTE: this writes the SYSTEM-WIDE sysctl vm.max_map_count (root-only;
+    silently keeps the default elsewhere). The full suite accumulates
+    ~64k LLVM-JIT mappings and segfaults at the kernel default of 65530
+    without it. The original value is restored at interpreter exit; set
+    ESC_TPU_NO_RAISE_MAP_COUNT=1 to forbid the write entirely.
+    """
     path = "/proc/sys/vm/max_map_count"
     try:
-        try:
-            with open(path, "w") as f:
-                f.write("262144")
-        except OSError:
-            pass
+        if not os.environ.get("ESC_TPU_NO_RAISE_MAP_COUNT"):
+            try:
+                with open(path) as f:
+                    prev = f.read().strip()
+                if int(prev) < 262144:
+                    with open(path, "w") as f:
+                        f.write("262144")
+                    import atexit
+
+                    def _restore(prev=prev):
+                        try:
+                            with open(path, "w") as f:
+                                f.write(prev)
+                        except OSError:
+                            pass
+                    atexit.register(_restore)
+            except OSError:
+                pass
         with open(path) as f:
             return int(f.read())
     except OSError:  # non-Linux

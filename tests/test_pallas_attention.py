@@ -47,3 +47,24 @@ def test_fused_attention_matches_jnp(rng, G, C, nh, masked):
                                  scale=scale, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("G,C,nh", [(33, 96, 12), (40, 384, 24)])
+def test_fused_attention_bf16(rng, G, C, nh):
+    """bf16 inputs: kernel output (always fp32) tracks the fp32 math
+    within bf16 rounding — the serving 'memory-saving' mode now rides
+    the fused kernel too (VERDICT r2 item 7)."""
+    N = 16
+    hd = C // nh
+    scale = hd ** -0.5
+    q, k, v = (jnp.asarray(rng.standard_normal((G, N, C)).astype(np.float32))
+               for _ in range(3))
+    bias = jnp.asarray(rng.standard_normal((nh, N, N)).astype(np.float32))
+    ref = _jnp_attention(q, k, v, bias, None, nh, scale)
+    out = fused_window_attention(q.astype(jnp.bfloat16),
+                                 k.astype(jnp.bfloat16),
+                                 v.astype(jnp.bfloat16), bias, None,
+                                 num_heads=nh, scale=scale, interpret=True)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-2, rtol=5e-2)

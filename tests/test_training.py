@@ -34,6 +34,23 @@ def test_quantization_dropout_distribution():
     assert min(vals) == 1
 
 
+def test_loader_worker_error_propagates(wav_folder, tmp_path):
+    """A corrupt wav must raise in the consumer, not silently shrink the
+    epoch (VERDICT r2 item 6: _Prefetcher swallowed worker exceptions)."""
+    import shutil
+    from esc_tpu.train.data import make_dataloader
+
+    d = tmp_path / "corrupt"
+    shutil.copytree(wav_folder, d)
+    (d / "clip_3.wav").write_bytes(b"RIFFgarbage-not-a-wav")
+
+    dl = make_dataloader(str(d), batch_size=4, shuffle=False,
+                         num_workers=2, seed=0)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in dl:
+            pass
+
+
 def test_train_steps_decrease_loss(wav_folder):
     import argparse
     from esc_tpu.train.trainer import Trainer

@@ -8,9 +8,9 @@ Compact re-implementation of the reference discriminator
   ``(w-hop)/2`` left and ``(w-hop)/2 + right_pad`` right where
   ``right_pad = ceil(L/hop)*hop - L``, then ``torch.stft(center=True)``
   with a periodic hann window, then drop the first/last two frames.
-* MSD's resample: only rate=1 is mirrored (identity); the reference's
-  julius sinc resampler for rate>1 is not replicated (the reference
-  adversarial config disables MSD entirely, ``rates: []``).
+* MSD's resample: julius.ResampleFrac ported below (clamped sinc,
+  cos^2 window, replicate pad, floor output length) — the resampler
+  audiotools' AudioSignal.resample delegates to.
 
 Test-only: generates golden targets for esc_tpu/models/discriminator.py
 and esc_tpu/modules/gan_loss.py. The real reference is unimportable here
@@ -68,10 +68,35 @@ class MPD(nn.Module):  # discriminator.py:31-66
         return fmap
 
 
-class MSD(nn.Module):  # discriminator.py:69-99 (rate=1 only)
+def julius_resample(x, old_sr, new_sr, zeros=24, rolloff=0.945):
+    """julius.core.ResampleFrac.forward on (B, L): phase-kernel bank of
+    clamped sincs with a cos^2 window, replicate padding, stride=old_sr
+    conv, floor output length."""
+    g = math.gcd(int(old_sr), int(new_sr))
+    old, new = old_sr // g, new_sr // g
+    if old == new:
+        return x
+    sr = rolloff * min(old, new)
+    width = math.ceil(zeros * old / sr)
+    idx = torch.arange(-width, width + old, dtype=torch.float64)
+    rows = []
+    for i in range(new):
+        t = (-i / new + idx / old) * sr
+        t = t.clamp(-zeros, zeros) * math.pi
+        window = torch.cos(t / zeros / 2) ** 2
+        rows.append(torch.sinc(t / math.pi) * window)
+    kernel = (torch.stack(rows) * (sr / old)).to(torch.float32)[:, None]
+    B, L = x.shape
+    xp = F.pad(x[:, None], (width, width + old), mode="replicate")
+    ys = F.conv1d(xp, kernel, stride=old)          # (B, new, T)
+    y = ys.transpose(1, 2).reshape(B, -1)
+    return y[:, : int(L * new / old)]
+
+
+class MSD(nn.Module):  # discriminator.py:69-99
     def __init__(self, rate: int = 1, sample_rate: int = 16000):
         super().__init__()
-        assert rate == 1, "mirror supports rate=1 (no resample) only"
+        self.rate, self.sample_rate = rate, sample_rate
         self.convs = nn.ModuleList([
             WNConv1d(1, 16, 15, 1, padding=7),
             WNConv1d(16, 64, 41, 4, groups=4, padding=20),
@@ -83,6 +108,9 @@ class MSD(nn.Module):  # discriminator.py:69-99 (rate=1 only)
         self.conv_post = WNConv1d(1024, 1, 3, 1, padding=1, act=False)
 
     def forward(self, x):
+        if self.rate > 1:
+            x = julius_resample(x.reshape(x.shape[0], -1), self.sample_rate,
+                                self.sample_rate // self.rate)[:, None]
         fmap = []
         for layer in self.convs:
             x = layer(x)
