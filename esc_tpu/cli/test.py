@@ -51,6 +51,12 @@ def run(args):
                                   pad_fn=model.pad_length)
     metric_funcs = {"PESQ": PESQ(), "MelDistance": MelSpectrogramDistance(),
                     "SISDR": SISDR()}
+    from ..metrics import HAVE_PESQ
+    if not HAVE_PESQ:
+        print("NOTE: PESQ columns will be nan — the `pesq` C library is "
+              "not installed (pip install pesq, or pip install "
+              "'esc_tpu[metrics]'). Quality acceptance falls back to "
+              "SISDR/MelDistance.")
     cfg = read_yaml(f"{args.model_path}/config.yaml")
     e_counter = EntropyCounter(cfg["model"]["codebook_size"],
                                num_streams=cfg["model"]["max_streams"],

@@ -121,6 +121,23 @@ def _vma_guard():
         gc.collect()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long integration runs (skipped by default; set "
+        "ESC_TPU_SLOW=1 to include — CI runs the fast tier, the full "
+        "tier is exercised before each release/round)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("ESC_TPU_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set ESC_TPU_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(53)

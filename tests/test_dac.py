@@ -81,6 +81,7 @@ def test_compress_decompress_roundtrip(dac, rng, tmp_path):
     assert y2.shape == (1, 32000)
 
 
+@pytest.mark.slow  # subsumed by test_dac_trainer_validate_tag_resume
 def test_dac_trainer_smoke(tmp_path, rng):
     # two iterations of the non-adversarial DNS trainer on synthetic data
     import os

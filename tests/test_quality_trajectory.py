@@ -28,6 +28,18 @@ def golden():
         return json.load(f)
 
 
+def test_golden_trajectory_shows_improvement(golden):
+    """Fast tier: the committed artifact itself must show the quality
+    gain (the live re-run below re-derives it and is slow-tier)."""
+    gold = {t["step"]: t for t in golden["trajectory"]}
+    assert 0 in gold and STEPS in gold
+    rel = 1.0 - gold[STEPS]["MelDistance"] / gold[0]["MelDistance"]
+    assert rel > 0.3, rel
+    for t in golden["trajectory"]:
+        assert np.isfinite(t["MelDistance"]) and np.isfinite(t["SISDR"])
+
+
+@pytest.mark.slow
 def test_quality_trajectory_matches_golden(tmp_path, golden):
     gold = {t["step"]: t for t in golden["trajectory"]}
     assert 0 in gold and STEPS in gold, "golden file missing checkpoints"

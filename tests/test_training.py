@@ -104,6 +104,79 @@ def test_train_steps_decrease_loss(wav_folder):
     assert p
 
 
+def test_multi_step_scan_matches_single_steps(wav_folder):
+    """make_multi_step (K steps per dispatch via lax.scan) must be
+    numerically identical to K sequential single-step dispatches."""
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+
+    from esc_tpu.train.trainer import Trainer, make_multi_step
+    from esc_tpu.utils import dict2namespace
+    from tests.test_model_shapes import TINY_CONFIG
+
+    config = dict2namespace({
+        "data": {"train_data_path": wav_folder, "val_data_path": wav_folder,
+                 "num_workers": 0, "train_bs_per_device": 4,
+                 "val_bs_per_device": 4},
+        "model_name": "csvq+swinT",
+        "model": TINY_CONFIG,
+        "loss": {"stft_weight": 1.0, "cm_weight": 0.25, "cb_weight": 1.0,
+                 "mel_weight": 0.25},
+    })
+    args = argparse.Namespace(
+        exp_name="scan_test", lr=4e-4, num_epochs=1,
+        num_pretraining_epochs=0, num_warmup_steps=0, val_metric="SISDR",
+        scheduler_type="constant", dropout_rate=0.5, pretrain_ckp=None,
+        log_steps=10 ** 9, save_path=None, seed=11)
+    trainer = Trainer(config, args, devices=jax.devices()[:1])
+    model, train_dl, _ = trainer.load()
+    # host copy: both paths donate their state buffers, so each needs a
+    # fresh device tree
+    p0 = jax.device_get(model.variables["params"])
+    step_fn = trainer._make_step_fn(model.module)
+
+    batches = next(iter(train_dl))
+    K = 3
+    stacked = np.stack([batches] * K)
+    ns = np.asarray([6, 3, 6], np.int32)
+
+    def fresh_state():
+        p = jax.tree_util.tree_map(jnp.asarray, p0)
+        return (p, trainer.tx.init(p))
+
+    multi = make_multi_step(step_fn.core, freeze=False)
+
+    # strict: a K=1 scan equals one single-step dispatch
+    s1, aux1 = step_fn(fresh_state(), batches, num_streams=jnp.int32(6),
+                       freeze=False)
+    s2, auxs1 = multi(fresh_state(), jnp.asarray(stacked[:1]),
+                      jnp.asarray(ns[:1]) * 0 + 6)
+    np.testing.assert_allclose(float(np.asarray(auxs1["loss"])[0]),
+                               float(aux1["loss"]), rtol=1e-5, atol=1e-6)
+
+    # bounded drift over K=3: XLA fuses the scan body differently from
+    # the standalone step; float reassociation noise passes through
+    # Adam's normalizer as at most ~lr-sized per-element update flips,
+    # so the trajectories agree to lr-scale, not ulp-scale.
+    state1 = fresh_state()
+    for i in range(K):
+        state1, aux1 = step_fn(state1, batches,
+                               num_streams=jnp.int32(int(ns[i])),
+                               freeze=False)
+    state2, auxs = multi(fresh_state(), jnp.asarray(stacked),
+                         jnp.asarray(ns))
+    assert np.asarray(auxs["loss"]).shape == (K,)
+    np.testing.assert_allclose(float(np.asarray(auxs["loss"])[-1]),
+                               float(aux1["loss"]), rtol=5e-3)
+    lr = 4e-4
+    for a, b in zip(jax.tree_util.tree_leaves(state1[0]),
+                    jax.tree_util.tree_leaves(state2[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=3 * K * lr)
+
+
 def jax_leaves_finite(tree):
     import jax
     return all(bool(np.isfinite(np.asarray(l)).all())

@@ -1,0 +1,189 @@
+"""Waveform-fidelity golden run (VERDICT r2 item 1): train ESC-Base
+with the REAL recipe (codebook-freeze pretrain -> quantization-dropout
+main stage) long enough that SI-SDR goes decisively positive, and
+record the trajectory at two bitrates.
+
+Uses the lax.scan multi-step path (esc_tpu.train.trainer.make_multi_step)
+so a 100k-step run is minutes on one chip instead of dispatch-bound
+hours. Corpus is the deterministic harmonic corpus WITHOUT the i.i.d.
+noise floor (see tools/quality_trajectory.make_corpus: after power-law
+compression an i.i.d. floor dominates the loss and starves the
+phase-carrying bins of gradient; real speech has no such component).
+
+Output: tests/golden/quality_longrun.json, asserted by
+tests/test_quality_trajectory.py::test_longrun_golden_sisdr_positive.
+
+Run: python tools/quality_longrun.py  (TPU; ~10-20 min)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+from typing import Dict, List
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                      "quality_longrun.json")
+
+BASE_CONFIG = dict(
+    backbone="transformer", in_dim=2, in_freq=192,
+    h_dims=[45, 72, 96, 144, 192, 384], max_streams=6,
+    win_len=20, hop_len=5, sr=16000, patch_size=[3, 2],
+    swin_heads=[3, 6, 12, 24, 24], swin_depth=2, window_size=4,
+    mlp_ratio=4.0, overlap=2, group_size=3, codebook_size=1024,
+    codebook_dims=[8, 8, 8, 8, 8, 8], l2norm=True,
+)
+
+
+def run_longrun(data_dir: str, total_steps: int = 100_000,
+                pretrain_steps: int = 10_000, scan: int = 1000,
+                eval_every: int = 10_000, lr: float = 4e-4,
+                seed: int = 11, eval_streams=(6, 3),
+                init_ckpt: str | None = None,
+                save_ckpt: str | None = None) -> Dict:
+    import jax
+    import jax.numpy as jnp
+
+    from esc_tpu.metrics import MelSpectrogramDistance, SISDR
+    from esc_tpu.train.data import quantization_dropout
+    from esc_tpu.train.trainer import Trainer, make_multi_step
+    from esc_tpu.utils import dict2namespace
+
+    config = dict2namespace({
+        "data": {"train_data_path": data_dir, "val_data_path": data_dir,
+                 "num_workers": 0, "train_bs_per_device": 8,
+                 "val_bs_per_device": 8},
+        "model_name": "csvq+swinT",
+        "model": BASE_CONFIG,
+        "loss": {"stft_weight": 1.0, "cm_weight": 0.25, "cb_weight": 1.0,
+                 "mel_weight": 0.25},
+    })
+    args = argparse.Namespace(
+        exp_name="longrun", lr=lr, num_epochs=1, num_pretraining_epochs=0,
+        num_warmup_steps=0, val_metric="SISDR", scheduler_type="constant",
+        dropout_rate=0.5, pretrain_ckp=None, log_steps=10 ** 9,
+        save_path=None, seed=seed)
+
+    trainer = Trainer(config, args, devices=jax.devices()[:1])
+    model, train_dl, _ = trainer.load()
+    params = model.variables["params"]
+    if init_ckpt:
+        from esc_tpu.checkpoint import restore_into
+        payload = restore_into(init_ckpt,
+                               model_state_target=jax.device_get(params))
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        payload["model_state_dict"])
+        print(f"resumed params from {init_ckpt}", flush=True)
+    state = (params, trainer.tx.init(params))
+    step_fn = trainer._make_step_fn(model.module)
+
+    batches = list(train_dl)  # 2 fixed batches of 8
+    eval_batch = batches[0]
+    mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
+    drop_rng = np.random.default_rng(seed)
+    ns_max = BASE_CONFIG["max_streams"]
+
+    def evaluate(p, step) -> Dict:
+        model.variables = {"params": p}
+        row: Dict = {"step": step}
+        for s in eval_streams:
+            out = model(eval_batch, None, num_streams=s)
+            recon = np.asarray(out["recon_audio"])
+            row[f"SISDR@{s}"] = round(
+                float(np.mean(sdr_fn(eval_batch, recon))), 3)
+            row[f"MelDist@{s}"] = round(
+                float(np.mean(mel_fn(eval_batch, recon))), 3)
+        return row
+
+    K = scan
+    stacked = jax.device_put(np.stack(
+        [batches[i % len(batches)] for i in range(K)]))  # (K, B, L)
+    multi_pre = make_multi_step(step_fn.core, freeze=True)
+    multi_main = make_multi_step(step_fn.core, freeze=False)
+    ns_pre = jnp.full((K,), ns_max, jnp.int32)
+
+    traj: List[Dict] = [evaluate(state[0], 0)]
+    print(json.dumps(traj[0]), flush=True)
+    done = 0
+    while done < total_steps:
+        if done < pretrain_steps:
+            state, auxs = multi_pre(state, stacked, ns_pre)
+        else:
+            if done == pretrain_steps:
+                # optimizer renewal at the stage switch (trainer.py)
+                state = (state[0], trainer.tx.init(state[0]))
+            ns_arr = jnp.asarray(
+                [quantization_dropout(args.dropout_rate, ns_max, drop_rng)
+                 for _ in range(K)], jnp.int32)
+            state, auxs = multi_main(state, stacked, ns_arr)
+        done += K
+        if done % eval_every == 0 or done >= total_steps:
+            row = evaluate(state[0], done)
+            row["stft_loss"] = round(float(np.asarray(
+                auxs["stft_loss"])[-1]), 5)
+            row["mel_loss"] = round(float(np.asarray(
+                auxs["mel_loss"])[-1]), 4)
+            row["cb_loss"] = round(float(np.asarray(
+                auxs["cb_loss"])[-1]), 5)
+            traj.append(row)
+            print(json.dumps(row), flush=True)
+    if save_ckpt:
+        from esc_tpu.checkpoint import save_checkpoint
+        import os as _os
+        save_checkpoint(_os.path.dirname(save_ckpt) or ".",
+                        _os.path.basename(save_ckpt), step=total_steps,
+                        model_state=jax.device_get(state[0]))
+        print(f"params saved to {save_ckpt}", flush=True)
+    return {
+        "backend": jax.default_backend(),
+        "seed": seed,
+        "total_steps": total_steps,
+        "pretrain_steps": pretrain_steps,
+        "scan": K,
+        "lr": lr,
+        "init_ckpt": init_ckpt,
+        "config": "ESC-Base (8.39M params, codebook_dims [8]*6)",
+        "corpus": "16 noise-free harmonic clips (make_corpus noise=0)",
+        "recipe": "freeze pretrain -> quantization-dropout main, "
+                  "constant lr, optimizer renewal at the switch",
+        "eval_streams": list(eval_streams),
+        "trajectory": traj,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--pretrain-steps", type=int, default=10_000)
+    p.add_argument("--scan", type=int, default=1000)
+    p.add_argument("--eval-every", type=int, default=10_000)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--out", type=str, default=GOLDEN)
+    p.add_argument("--init-ckpt", type=str, default=None)
+    p.add_argument("--save-ckpt", type=str, default=None)
+    a = p.parse_args(argv)
+    from tools.quality_trajectory import make_corpus
+    with tempfile.TemporaryDirectory() as d:
+        make_corpus(d, noise=0.0)
+        result = run_longrun(d, total_steps=a.steps,
+                             pretrain_steps=a.pretrain_steps, scan=a.scan,
+                             eval_every=a.eval_every, lr=a.lr,
+                             init_ckpt=a.init_ckpt, save_ckpt=a.save_ckpt)
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(f"golden long-run trajectory written to {a.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
