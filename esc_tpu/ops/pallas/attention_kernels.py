@@ -15,8 +15,10 @@ dim folded into channels; the relative-position bias (nh, N, N) and the
 optional per-window shift mask (broadcast to (G, N, N) as a compile-time
 constant — it is static per token grid) ride along in VMEM.
 
-Used when ``G`` is large enough to amortize; numerics are fp32 with
-HIGHEST-precision dots, identical to the jnp path (validated in
+Used when ``G`` is large enough to amortize. fp32 inputs use
+HIGHEST-precision dots, identical to the jnp path; bf16 inputs feed the
+MXU natively with fp32 accumulation (scores/softmax always fp32),
+matching the unfused bf16 einsum path (validated in
 tests/test_pallas_attention.py).
 
 Heads are tiled across the second Pallas grid axis in channel-contiguous

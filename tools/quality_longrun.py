@@ -126,6 +126,7 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
                  for _ in range(K)], jnp.int32)
             state, auxs = multi_main(state, stacked, ns_arr)
         done += K
+        print(f"  .. {done} steps", file=sys.stderr, flush=True)
         if done % eval_every == 0 or done >= total_steps:
             row = evaluate(state[0], done)
             row["stft_loss"] = round(float(np.asarray(
