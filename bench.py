@@ -4,6 +4,17 @@ North star (BASELINE.md): >= 1x real-time encode+decode per TPU chip at
 1.5-9 kbps. The reference publishes no RTF, so vs_baseline is measured
 against the 1.0x real-time bar.
 
+Timing methodology (fetch-verified): on this environment's remote-TPU
+tunnel, ``jax.block_until_ready`` can return before the device work has
+actually finished, which silently inflates naive loop timings by large
+factors. Every measurement here therefore (a) makes iteration i+1's
+input data-depend on iteration i's output, so the device cannot start a
+dispatch early or reorder, and (b) ends by fetching a real scalar
+reduction of the final output to the host (``np.asarray``), which is a
+true data round-trip. The sustained number instead launches independent
+dispatches and fetches ONE combined scalar of all outputs — honest
+pipelined throughput.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -16,6 +27,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from esc_tpu.models import ESC
 
@@ -28,53 +40,79 @@ def main():
         codebook_dims=[8, 8, 8, 8, 8, 8], l2norm=True,
     )
 
-    # batch of 3 s EvalSet clips; 16 saturates the chip (throughput is
-    # flat 16 -> 32, ~35% above batch 8)
     B, L, SR = 16, 47920, 16000
     num_streams = 6
 
-    model = ESC(**config)
-    model.init_params(example_len=L)
+    @jax.jit
+    def chain(x, r):
+        # data dependency on the previous reconstruction without
+        # changing the input values (0 * scalar)
+        return x + 0.0 * r[0, 0].astype(x.dtype)
+
+    @jax.jit
+    def tap(r):
+        return r[0, 0]
+
+    @jax.jit
+    def tap_many(taps):
+        return jnp.stack(taps).sum()
 
     rng = np.random.default_rng(53)
-    x = rng.standard_normal((B, L)).astype(np.float32)
+    x = jax.device_put(rng.standard_normal((B, L)).astype(np.float32))
 
-    # Warmup / compile the fused single-dispatch roundtrip.
-    codes, feat_shape, recon = model.roundtrip(x, num_streams=num_streams)
-    jax.block_until_ready(recon)
+    def measure(model):
+        # Warmup / compile the fused single-dispatch roundtrip + helpers.
+        _, _, recon = model.roundtrip(x, num_streams=num_streams)
+        float(np.asarray(tap(recon)))
+        float(np.asarray(tap(chain(x, recon))))
 
-    def measure(iters, depth):
-        """Sustained serving loop with up to ``depth`` batches in flight
-        (esc_tpu.serving pattern): dispatch overlaps H2D + compute of
-        later batches with completion of earlier ones. depth=1 is the
-        fully serial loop (block every batch)."""
-        from collections import deque
-        inflight = deque()
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            _, _, r = model.roundtrip(x, num_streams=num_streams)
-            inflight.append(r)
-            if len(inflight) >= depth:
-                jax.block_until_ready(inflight.popleft())
-        while inflight:
-            jax.block_until_ready(inflight.popleft())
-        return time.perf_counter() - t0
+        def measure_chained(iters):
+            """Strictly serialized roundtrips (latency per batch)."""
+            r = recon
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _, _, r = model.roundtrip(chain(x, r),
+                                          num_streams=num_streams)
+            float(np.asarray(tap(r)))  # real D2H: proves completion
+            return time.perf_counter() - t0
 
-    measure(4, 4)  # steady-state warmup
-    iters, blocks = 20, 5
-    audio_seconds = iters * B * (L / SR)
-    best = {d: float("inf") for d in (1, 4)}
-    for _ in range(blocks):
-        for d in best:
-            best[d] = min(best[d], measure(iters, d))
-    serial_rtf = audio_seconds / best[1]
-    rtf = audio_seconds / best[4]
+        def measure_pipelined(iters):
+            """Independent dispatches, one combined fetch (throughput)."""
+            taps = []
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _, _, r = model.roundtrip(x, num_streams=num_streams)
+                taps.append(tap(r))
+            float(np.asarray(tap_many(taps)))
+            return time.perf_counter() - t0
+
+        measure_chained(2)
+        measure_pipelined(2)  # steady-state + compile tap_many
+        iters, blocks = 10, 3
+        audio_seconds = iters * B * (L / SR)
+        best_c = min(measure_chained(iters) for _ in range(blocks))
+        best_p = min(measure_pipelined(iters) for _ in range(blocks))
+        return audio_seconds / best_c, audio_seconds / max(best_p, 1e-9)
+
+    # fp32 at HIGHEST matmul precision: the bit-parity configuration
+    model32 = ESC(**config)
+    model32.init_params(example_len=L)
+    serial32, rtf32 = measure(model32)
+
+    # bf16 serving mode: the production configuration (quality-neutral,
+    # tests/golden/bf16_quality.json)
+    model16 = ESC(**config, dtype=jnp.bfloat16)
+    model16.variables = model32.variables  # params stay fp32
+    serial16, rtf16 = measure(model16)
+
     print(json.dumps({
         "metric": "encode_decode_rtf_per_chip",
-        "value": round(rtf, 3),
-        "unit": ("x_realtime sustained, 4 in flight (batch=16, 3s clips, "
-                 f"9kbps, ESC-Base; serial {serial_rtf:.0f}x)"),
-        "vs_baseline": round(rtf / 1.0, 3),
+        "value": round(rtf16, 3),
+        "unit": ("x_realtime sustained, fetch-verified, bf16 serving mode "
+                 f"(batch=16, 3s clips, 9kbps, ESC-Base; bf16 chained-"
+                 f"serial {serial16:.0f}x; fp32-highest {rtf32:.0f}x "
+                 f"sustained / {serial32:.0f}x serial)"),
+        "vs_baseline": round(rtf16 / 1.0, 3),
     }))
 
 

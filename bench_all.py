@@ -2,10 +2,21 @@
 
 Measures, on real hardware (the same jitted entry points the CLIs use):
   - ESC-Base  encode+decode RTF (batch 16, 3 s clips, 9 kbps)
+  - ESC-Base  batch-1 latency + RTF-vs-batch curve
+  - ESC-Base  bf16 RTF
   - ESC-Large encode+decode RTF (swin_depth 4, README.md:65)
   - ESC-Base  training samples/s (exact Trainer step, batch 9)
   - DAC-Tiny  encode+decode RTF (configs/dac/16khz_dns_9k_tiny.yml)
   - EnCodec   encode+decode RTF (24 kHz, 6 kbps)
+
+Timing methodology (fetch-verified): on this environment's remote-TPU
+tunnel ``jax.block_until_ready`` can return before device work actually
+finishes, which invalidates naive loop timings (observed up to ~90x
+inflation). Throughput timings here dispatch the loop, then fetch ONE
+combined scalar reduction over EVERY iteration's output to the host
+(np.asarray) — a true data round-trip that cannot complete early.
+Latency timings chain iteration i+1's input on iteration i's output so
+work cannot overlap.
 
 Prints one JSON line per entry and writes them all to BENCH_EXTRA.json.
 The driver-graded single-line artifact stays `bench.py`; this file is the
@@ -16,17 +27,24 @@ import json
 import sys
 import time
 
+import numpy as np
 
-def _best_time(fn, iters=10, blocks=5):
+
+def _best_time(fn, iters=10, blocks=3):
+    """Fetch-verified pipelined throughput: sec per iteration."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn())  # steady-state warmup
+    tap = jax.jit(lambda r: jnp.asarray(r).ravel()[0])
+    combine = jax.jit(lambda ts: jnp.stack(ts).sum())
+    float(np.asarray(tap(fn())))  # steady-state warmup + compile
     best = float("inf")
     for _ in range(blocks):
+        taps = []
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
+            taps.append(tap(fn()))
+        float(np.asarray(combine(taps)))
         best = min(best, time.perf_counter() - t0)
     return best / iters
 
@@ -85,7 +103,7 @@ ESC_BASE = dict(
 
 
 def bench_esc(config, name, B=16, L=47920, sr=16000, dtype=None):
-    import numpy as np
+    import jax
 
     from esc_tpu.models import ESC
 
@@ -93,7 +111,7 @@ def bench_esc(config, name, B=16, L=47920, sr=16000, dtype=None):
     model = ESC(**config, **kw)
     model.init_params(example_len=L)
     rng = np.random.default_rng(53)
-    x = rng.standard_normal((B, L)).astype(np.float32)
+    x = jax.device_put(rng.standard_normal((B, L)).astype(np.float32))
 
     def roundtrip():
         _, _, recon = model.roundtrip(x, num_streams=6)
@@ -107,70 +125,91 @@ def bench_esc(config, name, B=16, L=47920, sr=16000, dtype=None):
 
 
 def bench_esc_latency(L=47920, sr=16000):
-    """Batch-1 serving latency: ms to encode+decode ONE 3 s clip,
-    including H2D of the clip (the serving-relevant figure a codec user
-    sees; VERDICT r2 weak-2)."""
+    """Batch-1 serving latency: ms to encode+decode ONE 3 s clip.
+    `chained` amortizes the host fetch over the block (device-compute
+    latency); `fetch_each` round-trips every clip's audio to the host
+    through this environment's remote tunnel (upper bound)."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from esc_tpu.models import ESC
 
     model = ESC(**ESC_BASE)
     model.init_params(example_len=L)
     rng = np.random.default_rng(53)
-    x = rng.standard_normal((1, L)).astype(np.float32)
+    x = jax.device_put(rng.standard_normal((1, L)).astype(np.float32))
+    chain = jax.jit(lambda x, r: x + 0.0 * r[0, 0])
+    tap = jax.jit(lambda r: r[0, 0])
 
-    def roundtrip():
-        _, _, recon = model.roundtrip(x, num_streams=6)
-        return recon
+    _, _, r = model.roundtrip(x, num_streams=6)
+    float(np.asarray(tap(chain(x, r))))
 
-    jax.block_until_ready(roundtrip())
-    times = []
-    for _ in range(50):
+    iters = 20
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(roundtrip())
+        rr = r
+        for _ in range(iters):
+            _, _, rr = model.roundtrip(chain(x, rr), num_streams=6)
+        float(np.asarray(tap(rr)))
+        best = min(best, time.perf_counter() - t0)
+    chained_ms = best / iters * 1e3
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        _, _, rr = model.roundtrip(x, num_streams=6)
+        np.asarray(rr)  # full audio D2H
         times.append(time.perf_counter() - t0)
-    t = sorted(times)
-    p50, p95 = t[len(t) // 2], t[int(len(t) * 0.95)]
+    fetch_ms = sorted(times)[len(times) // 2] * 1e3
+
     return {"metric": "esc_base_batch1_latency_ms",
-            "value": round(p50 * 1e3, 2),
-            "unit": f"ms p50 per 3s clip, encode+decode (p95 "
-                    f"{p95 * 1e3:.2f} ms)",
-            "vs_baseline": round((L / sr) / p50, 1)}
+            "value": round(chained_ms, 2),
+            "unit": f"ms per 3s clip chained encode+decode (one-shot incl. "
+                    f"full audio D2H via remote tunnel: {fetch_ms:.1f} ms)",
+            "vs_baseline": round((L / sr) / (chained_ms / 1e3), 1)}
 
 
 def bench_esc_batch_curve(L=47920, sr=16000):
-    """RTF vs batch size, serial and 4-deep pipelined (esc_tpu.serving):
-    quantifies the dispatch/transfer overhead the pipeline hides."""
+    """RTF vs batch size: chained-serial vs pipelined (independent
+    dispatches, one combined fetch)."""
     import jax
-    import numpy as np
+    import jax.numpy as jnp
 
     from esc_tpu.models import ESC
-    from esc_tpu.serving import stream_map
 
     model = ESC(**ESC_BASE)
     model.init_params(example_len=L)
     rng = np.random.default_rng(53)
+    chain = jax.jit(lambda x, r: x + 0.0 * r[0, 0])
+    tap = jax.jit(lambda r: r[0, 0])
+    combine = jax.jit(lambda ts: jnp.stack(ts).sum())
     curve = {}
     for B in (1, 4, 8, 16, 32):
-        x = rng.standard_normal((B, L)).astype(np.float32)
-
-        def fn(xb):
-            _, _, recon = model.roundtrip(xb, num_streams=6)
-            return recon
-
-        jax.block_until_ready(fn(x))  # compile + warm
-        iters = 20
+        x = jax.device_put(rng.standard_normal((B, L)).astype(np.float32))
+        _, _, r0 = model.roundtrip(x, num_streams=6)
+        float(np.asarray(tap(chain(x, r0))))
+        iters = 10
         row = {}
-        for depth, tag in ((1, "serial"), (4, "pipelined")):
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                for out in stream_map(fn, (x for _ in range(iters)),
-                                      depth=depth, to_host=False):
-                    jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            row[tag] = round(iters * B * (L / sr) / best, 1)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            r = r0
+            for _ in range(iters):
+                _, _, r = model.roundtrip(chain(x, r), num_streams=6)
+            float(np.asarray(tap(r)))
+            best = min(best, time.perf_counter() - t0)
+        row["serial"] = round(iters * B * (L / sr) / best, 1)
+        best = float("inf")
+        for _ in range(2):
+            taps = []
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                _, _, r = model.roundtrip(x, num_streams=6)
+                taps.append(tap(r))
+            float(np.asarray(combine(taps)))
+            best = min(best, time.perf_counter() - t0)
+        row["pipelined"] = round(iters * B * (L / sr) / best, 1)
         curve[B] = row
     b16 = curve[16]
     return {"metric": "esc_base_rtf_vs_batch",
@@ -183,7 +222,6 @@ def bench_esc_batch_curve(L=47920, sr=16000):
 
 def bench_esc_train(B=9, L=47920):
     import jax
-    import numpy as np
     from types import SimpleNamespace
 
     from esc_tpu.models import ESC
@@ -198,24 +236,32 @@ def bench_esc_train(B=9, L=47920):
                                          warmup_steps=0), clip_norm=0.5)
     train_step = tr._make_step_fn(model.module)
     params = model.variables["params"]
-    state = [(params, tr.tx.init(params))]
+    state = (params, tr.tx.init(params))
     rng = np.random.default_rng(53)
-    batch = (0.2 * rng.standard_normal((B, L))).astype(np.float32)
+    batch = jax.device_put(
+        (0.2 * rng.standard_normal((B, L))).astype(np.float32))
     ns = jax.numpy.asarray(6, jax.numpy.int32)
 
-    def step():
-        state[0], aux = train_step(state[0], batch, ns, False)
-        return aux["loss"]
-
-    sec = _best_time(step, iters=20)
+    state, aux = train_step(state, batch, ns, False)
+    float(np.asarray(aux["loss"]))
+    iters, blocks = 10, 3
+    best = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, aux = train_step(state, batch, ns, False)
+        float(np.asarray(aux["loss"]))  # chained through state; real fetch
+        best = min(best, time.perf_counter() - t0)
+    sec = best / iters
     ref_per_gpu = 4.34 * 36 / 4  # 39.06 samples/s per RTX 4090 (README:48)
-    return {"metric": "esc_base_train_samples_per_s", "value": round(B / sec, 1),
+    return {"metric": "esc_base_train_samples_per_s",
+            "value": round(B / sec, 1),
             "unit": f"samples/s (batch {B}, step {sec * 1e3:.2f} ms)",
             "vs_baseline": round(B / sec / ref_per_gpu, 2)}
 
 
 def bench_dac(B=8, L=48000, sr=16000):
-    import numpy as np
+    import jax.numpy as jnp
 
     from esc_tpu.baselines.dac import DAC
     from esc_tpu.utils.config import read_yaml
@@ -224,10 +270,7 @@ def bench_dac(B=8, L=48000, sr=16000):
     dac = DAC(**cfg)
     dac.init_params(example_len=L)
     rng = np.random.default_rng(53)
-    x = (0.2 * rng.standard_normal((B, L))).astype(np.float32)
-    import jax.numpy as jnp
-
-    xj = jnp.asarray(x)
+    xj = jnp.asarray((0.2 * rng.standard_normal((B, L))).astype(np.float32))
 
     def roundtrip():
         codes = dac._encode_codes(dac.variables, xj, True)
@@ -242,7 +285,6 @@ def bench_dac(B=8, L=48000, sr=16000):
 
 def bench_encodec(B=8, L=72000, sr=24000):
     import jax.numpy as jnp
-    import numpy as np
 
     from esc_tpu.baselines.encodec import Encodec
     from esc_tpu.baselines.encodec.model import (_encodec_decode_jit,
@@ -266,6 +308,7 @@ def bench_encodec(B=8, L=72000, sr=24000):
 
 def main():
     results = []
+
     def _bf16():
         import jax.numpy as jnp
 

@@ -49,16 +49,21 @@ def main():
     batch = (0.2 * rng.standard_normal((B, L))).astype(np.float32)
     ns = jax.numpy.asarray(6, jax.numpy.int32)
 
+    batch = jax.device_put(batch)
     state, aux = train_step(state, batch, ns, False)  # compile
-    jax.block_until_ready(aux["loss"])
+    float(np.asarray(aux["loss"]))
 
-    iters, blocks = 20, 5
+    # Fetch-verified timing: steps chain through `state`, and each block
+    # ends with a REAL host fetch of the loss (np.asarray) — on this
+    # environment's remote-TPU tunnel, block_until_ready can return
+    # before device work finishes, so naive timings are invalid.
+    iters, blocks = 20, 3
     best = float("inf")
     for _ in range(blocks):
         t0 = time.perf_counter()
         for _ in range(iters):
             state, aux = train_step(state, batch, ns, False)
-        jax.block_until_ready(aux["loss"])
+        float(np.asarray(aux["loss"]))
         best = min(best, time.perf_counter() - t0)
 
     step_ms = best / iters * 1e3

@@ -20,6 +20,7 @@ alongside the ``(B, H*W, C)`` token tensor exactly like the reference's
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -132,10 +133,16 @@ class WindowAttention(nn.Module):
         # only pay off at larger window counts (crossover ~1k on v5e).
         from ..ops.pallas.attention_kernels import fused_attention_profitable
         min_windows = 512 if C >= 256 else 2048
+        # ESC_TPU_FUSED_ATTN: "0" disables, "1" ignores the window-count
+        # threshold (geometry profitability still applies: forcing the
+        # nh=24/hd=8 head-padded layout makes XLA scope its ~20MB output
+        # to VMEM and the compile OOMs the 16MB scoped limit).
+        _env = os.environ.get("ESC_TPU_FUSED_ATTN")
         use_fused = (not training and jax.default_backend() == "tpu"
                      and self.dtype in (jnp.float32, jnp.bfloat16)
-                     and B_ >= min_windows
-                     and fused_attention_profitable(nh, hd))
+                     and _env != "0"
+                     and fused_attention_profitable(nh, hd)
+                     and (_env == "1" or B_ >= min_windows))
         if use_fused:
             # fused Pallas path: softmax + both batched matmuls stay in
             # VMEM (esc_tpu/ops/pallas/attention_kernels.py)

@@ -221,8 +221,10 @@ class TrainerAdv(Trainer):
                 window_steps += 1
                 self._log_accumulate(aux)
                 if (step + 1) % args.log_steps == 0:
-                    # one sync per log window, as in Trainer.train
-                    jax.block_until_ready(aux["loss"])
+                    # one sync per log window, as in Trainer.train —
+                    # a real D2H fetch (block_until_ready can return
+                    # early on remote-TPU tunnels)
+                    np.asarray(aux["loss"])
                     self.timer.toc_window(window_steps)
                     window_steps = 0
                 if process_is_main():

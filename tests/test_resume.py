@@ -91,7 +91,6 @@ def test_checkpoint_carries_full_state(wav_folder, tmp_path):  # noqa: F811
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_adv_resume_restores_disc(wav_folder, tmp_path):  # noqa: F811
     from esc_tpu.checkpoint import load_checkpoint
     from esc_tpu.train.trainer_adv import TrainerAdv

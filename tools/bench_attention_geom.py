@@ -63,14 +63,20 @@ def main(argv=None) -> int:
         return fused_window_attention(q, k, v, bias, None, num_heads=nh,
                                       scale=scale)
 
+    # fetch-verified timing: chain iterations through the output and end
+    # with a real np.asarray host fetch (block_until_ready can return
+    # early on this environment's remote-TPU tunnel)
+    chain = jax.jit(lambda q, r: q + (0.0 * r.ravel()[0]).astype(q.dtype))
     def best(fn):
-        jax.block_until_ready(fn(q, k, v))
+        float(np.asarray(fn(q, k, v).ravel()[0]))
         b = float("inf")
         for _ in range(5):
+            qq = q
             t0 = time.perf_counter()
             for _ in range(a.iters):
-                out = fn(q, k, v)
-            jax.block_until_ready(out)
+                out = fn(qq, k, v)
+                qq = chain(q, out)
+            float(np.asarray(out.ravel()[0]))
             b = min(b, (time.perf_counter() - t0) / a.iters)
         return b
 

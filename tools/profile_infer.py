@@ -18,15 +18,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def best(fn, iters=20, blocks=5):
+    """Fetch-verified pipelined timing: block_until_ready can return
+    early on this environment's remote-TPU tunnel, so each block ends
+    with a real scalar host fetch over every iteration's output."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn())
+    tap = jax.jit(lambda r: jnp.ravel(r)[0])
+    combine = jax.jit(lambda ts: jnp.stack(ts).sum())
+    float(np.asarray(tap(fn())))
     t_best = float("inf")
     for _ in range(blocks):
+        taps = []
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-        jax.block_until_ready(out)
+            taps.append(tap(fn()))
+        float(np.asarray(combine(taps)))
         t_best = min(t_best, time.perf_counter() - t0)
     return t_best / iters
 
@@ -88,7 +95,7 @@ def main():
         with jax.profiler.trace(args.trace):
             for _ in range(10):
                 out = rt()
-            jax.block_until_ready(out)
+            np.asarray(out)
         print(f"trace written to {args.trace}")
 
 
