@@ -29,9 +29,14 @@ if not _os.environ.get("ESC_TPU_NO_COMPILE_CACHE"):
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # Full-fp32 matmuls by default: TPU otherwise lowers fp32 dots to bf16
-# passes, which flips near-tie codebook assignments (breaking cross-
-# platform code parity) — and measures FASTER for this model's small
-# contractions. Override via JAX_DEFAULT_MATMUL_PRECISION.
+# passes, which (a) flips near-tie codebook assignments, breaking
+# cross-platform code parity, and (b) measurably degrades TRAINING
+# quality — the power-law complex-STFT loss is precision-sensitive
+# (committed A/B artifact tests/golden/precision_arms.json: two
+# 10k-step arms from one trained checkpoint end at SI-SDR 8.1 vs
+# 4.2 dB). The ~1.44x step-time cost is accepted; bf16 *serving* is a
+# separate, quality-neutral mode (dtype=bfloat16). Override via
+# JAX_DEFAULT_MATMUL_PRECISION.
 if "JAX_DEFAULT_MATMUL_PRECISION" not in _os.environ:
     import jax as _jax2
 

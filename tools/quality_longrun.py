@@ -49,7 +49,9 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
                 eval_every: int = 10_000, lr: float = 4e-4,
                 seed: int = 11, eval_streams=(6, 3),
                 init_ckpt: str | None = None,
-                save_ckpt: str | None = None) -> Dict:
+                save_ckpt: str | None = None,
+                mode: str = "loop",
+                fixed_ns: int | None = None) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -105,36 +107,65 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         return row
 
     K = scan
-    stacked = jax.device_put(np.stack(
-        [batches[i % len(batches)] for i in range(K)]))  # (K, B, L)
-    multi_pre = make_multi_step(step_fn.core, freeze=True)
-    multi_main = make_multi_step(step_fn.core, freeze=False)
-    ns_pre = jnp.full((K,), ns_max, jnp.int32)
-
     traj: List[Dict] = [evaluate(state[0], 0)]
     print(json.dumps(traj[0]), flush=True)
     done = 0
+
+    if mode == "scan":
+        stacked = jax.device_put(np.stack(
+            [batches[i % len(batches)] for i in range(K)]))  # (K, B, L)
+        multi_pre = make_multi_step(step_fn.core, freeze=True)
+        multi_main = make_multi_step(step_fn.core, freeze=False)
+        ns_pre = jnp.full((K,), ns_max, jnp.int32)
+    else:
+        # Single-step async dispatch: everything device-resident, never
+        # block between evals. Fetch-verified timing shows this and the
+        # lax.scan path at the same ms/step (tools/diag_scanspeed.py);
+        # loop avoids the K-step scan graph's multi-minute compile and
+        # 254MB cache entry, scan avoids per-step dispatch overhead on
+        # slower hosts — pick per use.
+        dev_batches = [jax.device_put(b) for b in batches]
+        ns_consts = {i: jax.device_put(jnp.asarray(i, jnp.int32))
+                     for i in range(1, ns_max + 1)}
+
     while done < total_steps:
-        if done < pretrain_steps:
-            state, auxs = multi_pre(state, stacked, ns_pre)
+        freeze = done < pretrain_steps
+        if not freeze and done == pretrain_steps:
+            # optimizer renewal at the stage switch (trainer.py)
+            state = (state[0], trainer.tx.init(state[0]))
+        if mode == "scan":
+            if freeze:
+                state, auxs = multi_pre(state, stacked, ns_pre)
+            else:
+                ns_arr = jnp.asarray(
+                    [fixed_ns if fixed_ns is not None else
+                     quantization_dropout(args.dropout_rate, ns_max,
+                                          drop_rng)
+                     for _ in range(K)], jnp.int32)
+                state, auxs = multi_main(state, stacked, ns_arr)
+            last_aux = {k: lambda v=v: float(np.asarray(v)[-1])
+                        for k, v in auxs.items()}
         else:
-            if done == pretrain_steps:
-                # optimizer renewal at the stage switch (trainer.py)
-                state = (state[0], trainer.tx.init(state[0]))
-            ns_arr = jnp.asarray(
-                [quantization_dropout(args.dropout_rate, ns_max, drop_rng)
-                 for _ in range(K)], jnp.int32)
-            state, auxs = multi_main(state, stacked, ns_arr)
+            for i in range(K):
+                if freeze:
+                    ns = ns_consts[ns_max]
+                elif fixed_ns is not None:
+                    ns = ns_consts[fixed_ns]
+                else:
+                    ns = ns_consts[quantization_dropout(
+                        args.dropout_rate, ns_max, drop_rng)]
+                state, aux = step_fn(
+                    state, dev_batches[(done + i) % len(dev_batches)],
+                    ns, freeze)
+            last_aux = {k: lambda v=v: float(np.asarray(v))
+                        for k, v in aux.items()}
         done += K
         print(f"  .. {done} steps", file=sys.stderr, flush=True)
         if done % eval_every == 0 or done >= total_steps:
             row = evaluate(state[0], done)
-            row["stft_loss"] = round(float(np.asarray(
-                auxs["stft_loss"])[-1]), 5)
-            row["mel_loss"] = round(float(np.asarray(
-                auxs["mel_loss"])[-1]), 4)
-            row["cb_loss"] = round(float(np.asarray(
-                auxs["cb_loss"])[-1]), 5)
+            row["stft_loss"] = round(last_aux["stft_loss"](), 5)
+            row["mel_loss"] = round(last_aux["mel_loss"](), 4)
+            row["cb_loss"] = round(last_aux["cb_loss"](), 5)
             traj.append(row)
             print(json.dumps(row), flush=True)
     if save_ckpt:
@@ -150,6 +181,8 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         "total_steps": total_steps,
         "pretrain_steps": pretrain_steps,
         "scan": K,
+        "mode": mode,
+        "fixed_ns": fixed_ns,
         "lr": lr,
         "init_ckpt": init_ckpt,
         "config": "ESC-Base (8.39M params, codebook_dims [8]*6)",
@@ -171,6 +204,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", type=str, default=GOLDEN)
     p.add_argument("--init-ckpt", type=str, default=None)
     p.add_argument("--save-ckpt", type=str, default=None)
+    p.add_argument("--mode", choices=("scan", "loop"), default="loop")
+    p.add_argument("--fixed-ns", type=int, default=None,
+                   help="train every step at this stream count "
+                        "(diagnostic; default: quantization dropout)")
     a = p.parse_args(argv)
     from tools.quality_trajectory import make_corpus
     with tempfile.TemporaryDirectory() as d:
@@ -178,7 +215,8 @@ def main(argv=None) -> int:
         result = run_longrun(d, total_steps=a.steps,
                              pretrain_steps=a.pretrain_steps, scan=a.scan,
                              eval_every=a.eval_every, lr=a.lr,
-                             init_ckpt=a.init_ckpt, save_ckpt=a.save_ckpt)
+                             init_ckpt=a.init_ckpt, save_ckpt=a.save_ckpt,
+                             mode=a.mode, fixed_ns=a.fixed_ns)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
