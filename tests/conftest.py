@@ -48,6 +48,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 # XLA-compiled). Disabling most XLA optimizations cuts compiles ~1.8x;
 # golden torch-parity tolerances were verified unaffected. Set
 # ESC_TPU_FULL_OPT=1 to run tests with production compilation.
+# KNOWN NUMERICAL CAVEAT: the flag destabilizes the adversarial
+# train step (finite grads -> NaN params on the 2nd GAN update, while
+# production compilation and the eager replay are both stable) —
+# tests/test_adv_stability.py re-enables full opts locally for that
+# reason. If another multi-update graph starts producing NaN only
+# under the suite, suspect this flag before the trainer.
 if not os.environ.get("ESC_TPU_FULL_OPT"):
     jax.config.update("jax_disable_most_optimizations", True)
 

@@ -1,15 +1,18 @@
 """Adversarial-stage stability artifact (VERDICT r2 item 2).
 
-Runs the REAL TrainerAdv step (generator update with reference weights
-mel 15 / gen 1 / feat 2, clip 1e3; discriminator update, clip 10 —
-reference: scripts/trainer_adv.py:61-113) for a pretraining stage plus a
-few hundred adversarial steps on the deterministic synthetic corpus, and
-records the loss/quality trajectory. The committed golden
-(tests/golden/adv_trajectory.json) is asserted by
-tests/test_adv_stability.py: disc/gen losses bounded, no NaN anywhere,
-and quality (MelDistance) not degraded vs the pretrain endpoint.
+The GAN path has one-step golden parity vs a torch mirror
+(tests/test_torch_parity_disc.py); this proves it *trains* without
+divergence: run a codebook-freeze warmup followed by a few-hundred-step
+adversarial stage with the reference recipe — weights mel 15 / gen 1 /
+feat 2 (configs/9kbps_esc_base_adv.yaml, mirroring the reference
+esc/scripts/trainer_adv.py:61-113), clips 1e3 (gen) / 10 (disc) — and
+record the loss/quality trajectory.
 
-Run `python tools/adv_trajectory.py` to regenerate (TPU or CPU).
+Output: tests/golden/adv_trajectory.json, asserted by
+tests/test_adv_stability.py (losses bounded, no NaN, MelDistance not
+degraded by the adversarial stage).
+
+Run: python tools/adv_trajectory.py [--init-ckpt trained.ckpt]  (TPU)
 """
 
 from __future__ import annotations
@@ -30,19 +33,20 @@ if _REPO not in sys.path:
 GOLDEN = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                       "adv_trajectory.json")
 
-DISC_TINY = {
-    "sample_rate": 16000,
-    "rates": [],          # reference adv config disables MSD
-    "periods": [2, 3],
-    "fft_sizes": [512, 256],
-    "bands": [[0.0, 0.1], [0.1, 0.25], [0.25, 0.5], [0.5, 0.75],
-              [0.75, 1.0]],
-}
+DISC_CONFIG = dict(
+    sample_rate=16000, rates=[], periods=[2, 3, 5, 7, 11],
+    fft_sizes=[2048, 1024, 512],
+    bands=[[0.0, 0.1], [0.1, 0.25], [0.25, 0.5], [0.5, 0.75], [0.75, 1.0]],
+)
 
 
 def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                        adv_steps: int = 300, eval_every: int = 50,
-                       seed: int = 11) -> Dict:
+                       lr: float = 1e-4, seed: int = 11,
+                       init_ckpt: str | None = None,
+                       model_config: dict | None = None,
+                       disc_config: dict | None = None,
+                       batch_size: int = 8) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -50,76 +54,95 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
     from esc_tpu.train.data import quantization_dropout
     from esc_tpu.train.trainer_adv import TrainerAdv
     from esc_tpu.utils import dict2namespace
-    from tests.test_model_shapes import TINY_CONFIG
+    from tools.quality_longrun import BASE_CONFIG
 
+    model_cfg = model_config or BASE_CONFIG
     config = dict2namespace({
         "data": {"train_data_path": data_dir, "val_data_path": data_dir,
-                 "num_workers": 0, "train_bs_per_device": 8,
-                 "val_bs_per_device": 8},
+                 "num_workers": 0, "train_bs_per_device": batch_size,
+                 "val_bs_per_device": batch_size},
         "model_name": "csvq+swinT",
-        "model": TINY_CONFIG,
-        "discriminator": DISC_TINY,
+        "model": model_cfg,
+        "discriminator": disc_config or DISC_CONFIG,
         # reference adversarial weights (configs/9kbps_esc_base_adv.yaml)
         "loss": {"stft_weight": 0.0, "cm_weight": 0.25, "cb_weight": 1.0,
                  "mel_weight": 15.0, "gen_weight": 1.0, "feat_weight": 2.0},
     })
     args = argparse.Namespace(
-        exp_name="adv_traj", lr=1e-4, num_epochs=1,
-        num_pretraining_epochs=0, num_warmup_steps=0, val_metric="SISDR",
-        scheduler_type="constant", dropout_rate=0.5, pretrain_ckp=None,
-        log_steps=10 ** 9, save_path=None, seed=seed)
+        exp_name="advtraj", lr=lr, num_epochs=1, num_pretraining_epochs=0,
+        num_warmup_steps=0, val_metric="SISDR", scheduler_type="constant",
+        dropout_rate=0.5, pretrain_ckp=None, log_steps=10 ** 9,
+        save_path=None, seed=seed)
 
     trainer = TrainerAdv(config, args, devices=jax.devices()[:1])
     model, train_dl, _ = trainer.load()
     params = model.variables["params"]
+    if init_ckpt:
+        from esc_tpu.checkpoint import restore_into
+        payload = restore_into(init_ckpt,
+                               model_state_target=jax.device_get(params))
+        params = jax.tree_util.tree_map(jnp.asarray,
+                                        payload["model_state_dict"])
+        print(f"resumed generator from {init_ckpt}", flush=True)
     state = (params, trainer.tx.init(params), trainer.disc_params,
              trainer.tx_disc.init(trainer.disc_params))
     step_fn = trainer._make_step_fn(model.module)
 
-    batches = list(train_dl)
-    eval_batch = batches[0]
+    batches = [jax.device_put(b) for b in train_dl]
+    eval_batch = np.asarray(jax.device_get(batches[0]))
     mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
     drop_rng = np.random.default_rng(seed)
-    ns_max = TINY_CONFIG["max_streams"]
+    ns_max = model_cfg["max_streams"]
 
-    def evaluate(p) -> Dict[str, float]:
+    def evaluate(p, step, stage, aux=None) -> Dict:
         model.variables = {"params": p}
         out = model(eval_batch, None, num_streams=ns_max)
         recon = np.asarray(out["recon_audio"])
-        return {"MelDistance": round(float(np.mean(mel_fn(eval_batch,
-                                                          recon))), 4),
-                "SISDR": round(float(np.mean(sdr_fn(eval_batch, recon))), 4)}
+        row: Dict = {
+            "step": step, "stage": stage,
+            "MelDistance": round(float(np.mean(mel_fn(eval_batch, recon))),
+                                 3),
+            "SISDR": round(float(np.mean(sdr_fn(eval_batch, recon))), 3),
+        }
+        if aux is not None:
+            for k in ("mel_loss", "gen_loss", "feat_loss", "disc_loss"):
+                row[k] = round(float(np.asarray(aux[k])), 5)
+        return row
 
     traj: List[Dict] = []
+    aux = None
     total = pretrain_steps + adv_steps
     for step in range(total):
-        batch = batches[step % len(batches)]
         freeze = step < pretrain_steps
-        s = (ns_max if freeze else
-             quantization_dropout(args.dropout_rate, ns_max, drop_rng))
-        if step == pretrain_steps:
+        stage = "pretrain" if freeze else "adv"
+        if not freeze and step == pretrain_steps:
             # generator optimizer renewal at the stage switch
-            state = (state[0], trainer.tx.init(state[0]), state[2], state[3])
-        state, aux = step_fn(state, batch, num_streams=jnp.int32(s),
+            state = (state[0], trainer.tx.init(state[0]), state[2],
+                     state[3])
+            traj.append(evaluate(state[0], step, "pretrain", aux))
+            print(json.dumps(traj[-1]), flush=True)
+        ns = jnp.asarray(
+            ns_max if freeze else
+            quantization_dropout(args.dropout_rate, ns_max, drop_rng),
+            jnp.int32)
+        state, aux = step_fn(state, batches[step % len(batches)], ns,
                              freeze=freeze)
-        if (step + 1) % eval_every == 0 or step + 1 == pretrain_steps \
-                or step == 0:
-            row = dict(step=step + 1, stage="pretrain" if freeze else "adv",
-                       gen_loss=round(float(aux["gen_loss"]), 4),
-                       feat_loss=round(float(aux["feat_loss"]), 4),
-                       disc_loss=round(float(aux["disc_loss"]), 4),
-                       mel_loss=round(float(aux["mel_loss"]), 4),
-                       loss=round(float(aux["loss"]), 4),
-                       **evaluate(state[0]))
-            traj.append(row)
-            print(json.dumps(row), flush=True)
+        if (step + 1) % eval_every == 0 or step + 1 == total:
+            traj.append(evaluate(state[0], step + 1, stage, aux))
+            print(json.dumps(traj[-1]), flush=True)
     return {
-        "backend": __import__("jax").default_backend(),
+        "backend": jax.default_backend(),
         "seed": seed,
         "pretrain_steps": pretrain_steps,
         "adv_steps": adv_steps,
-        "weights": "mel 15 / gen 1 / feat 2, clips 1e3/10 (reference)",
-        "config": "TINY_CONFIG + tiny MPD/MRD discriminator",
+        "lr": lr,
+        "init_ckpt": init_ckpt,
+        "weights": "mel 15 / gen 1 / feat 2 / cm 0.25 / cb 1 "
+                   "(configs/9kbps_esc_base_adv.yaml), clips 1e3 gen / "
+                   "10 disc",
+        "config": ("ESC-Base" if model_config is None else "custom")
+                  + " + MPD/MRD discriminator",
+        "corpus": "16 noise-free harmonic clips (make_corpus noise=0)",
         "trajectory": traj,
     }
 
@@ -128,17 +151,26 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--pretrain-steps", type=int, default=100)
     p.add_argument("--adv-steps", type=int, default=300)
+    p.add_argument("--eval-every", type=int, default=50)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--init-ckpt", type=str, default=None)
     p.add_argument("--out", type=str, default=GOLDEN)
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="smaller batches shrink the fused gen+disc step "
+                        "graph (this environment's compile helper OOMs "
+                        "on the B=8 adversarial graph)")
     a = p.parse_args(argv)
     from tools.quality_trajectory import make_corpus
     with tempfile.TemporaryDirectory() as d:
-        make_corpus(d)
-        result = run_adv_trajectory(d, pretrain_steps=a.pretrain_steps,
-                                    adv_steps=a.adv_steps)
+        make_corpus(d, noise=0.0)
+        result = run_adv_trajectory(
+            d, pretrain_steps=a.pretrain_steps, adv_steps=a.adv_steps,
+            eval_every=a.eval_every, lr=a.lr, init_ckpt=a.init_ckpt,
+            batch_size=a.batch_size)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
-    print(f"golden adversarial trajectory written to {a.out}")
+    print(f"adversarial trajectory written to {a.out}")
     return 0
 
 
