@@ -13,7 +13,8 @@ from __future__ import annotations
 import argparse
 import json
 
-from ..metrics import PESQ, EntropyCounter, MelSpectrogramDistance, SISDR
+from ..metrics import (PESQ, STOI, EntropyCounter,
+                       MelSpectrogramDistance, SISDR)
 from ..train.data import make_dataloader
 from ..train.evaluate import eval_epoch
 from ..utils import read_yaml
@@ -50,13 +51,14 @@ def run(args):
                                   shuffle=False, pad_eval=True,
                                   pad_fn=model.pad_length)
     metric_funcs = {"PESQ": PESQ(), "MelDistance": MelSpectrogramDistance(),
-                    "SISDR": SISDR()}
+                    "SISDR": SISDR(), "STOI": STOI()}
     from ..metrics import HAVE_PESQ
     if not HAVE_PESQ:
         print("NOTE: PESQ columns will be nan — the `pesq` C library is "
               "not installed (pip install pesq, or pip install "
-              "'esc_tpu[metrics]'). Quality acceptance falls back to "
-              "SISDR/MelDistance.")
+              "'esc_tpu[metrics]'). The in-repo STOI column "
+              "(esc_tpu/metrics_stoi.py) still provides a perceptual "
+              "metric alongside SISDR/MelDistance.")
     cfg = read_yaml(f"{args.model_path}/config.yaml")
     e_counter = EntropyCounter(cfg["model"]["codebook_size"],
                                num_streams=cfg["model"]["max_streams"],

@@ -19,7 +19,9 @@ import numpy as np
 from .ops.mel import MEL_BINS, MEL_WINDOWS, mel_spectrogram
 from .utils.host import to_host
 
-__all__ = ["PESQ", "MelSpectrogramDistance", "SISDR", "EntropyCounter",
+from .metrics_stoi import STOI  # noqa: F401  (in-repo perceptual metric)
+
+__all__ = ["PESQ", "STOI", "MelSpectrogramDistance", "SISDR", "EntropyCounter",
            "mel_distance", "sisdr", "mel_distance_masked", "sisdr_masked"]
 
 SR = 16000
