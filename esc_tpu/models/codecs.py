@@ -292,6 +292,25 @@ class _CodecWrapper:
         self._decode_fn = functools.partial(_decode_jit, mod)
         self._forward_fn = functools.partial(_forward_jit, mod)
         self._roundtrip_fn = functools.partial(_roundtrip_jit, mod)
+        if dtype == jnp.bfloat16:
+            # bf16 serving mode: trace under DEFAULT matmul precision so
+            # bf16 dots hit the MXU natively (fp32 accumulate). The
+            # package-wide `highest` default would instead request
+            # multi-pass emulation on bf16 inputs — measured ~1.3x
+            # slower with no quality benefit (the mode already trades
+            # bit-parity; quality-neutrality is asserted on trained
+            # weights in tests/golden/bf16_quality.json).
+            def _default_prec(fn):
+                @functools.wraps(fn)
+                def wrapped(*a, **k):
+                    with jax.default_matmul_precision("default"):
+                        return fn(*a, **k)
+                return wrapped
+
+            self._encode_fn = _default_prec(self._encode_fn)
+            self._decode_fn = _default_prec(self._decode_fn)
+            self._forward_fn = _default_prec(self._forward_fn)
+            self._roundtrip_fn = _default_prec(self._roundtrip_fn)
 
     # -- variables ------------------------------------------------------
 
