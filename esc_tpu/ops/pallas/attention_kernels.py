@@ -146,23 +146,13 @@ def fused_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     hd = C // nh
     in_dtype = (jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32)
 
-    # Head-count padding for lane alignment (e.g. nh=24/hd=8 -> nh=32:
-    # two 128-channel 16-head groups instead of the slow 4D layout).
-    # Zero-padded heads are self-neutralizing: zero q/k give uniform
-    # softmax over zero v -> zero output, sliced away below.
-    if (nh > MAX_HEADS_PER_TILE and hd > 0 and 128 % hd == 0
-            and nh % (128 // hd) != 0 and heads_per_tile is None):
-        gsz = 128 // hd
-        nh_pad = ((nh + gsz - 1) // gsz) * gsz
-        cpad = (nh_pad - nh) * hd
-        q, k, v = (jnp.pad(t, ((0, 0), (0, 0), (0, cpad)))
-                   for t in (q, k, v))
-        bias = jnp.pad(bias, ((0, nh_pad - nh), (0, 0), (0, 0)))
-        out = fused_window_attention(q, k, v, bias, mask,
-                                     num_heads=nh_pad, scale=scale,
-                                     interpret=interpret)
-        return out[:, :, :C]
-
+    # (A head-count-padding variant — nh=24/hd=8 -> nh=32 as two
+    # lane-aligned 128-channel groups — was tried here and removed:
+    # on real Mosaic the padded layout makes XLA scope a ~16MB stack
+    # allocation for the kernel output and the compile fails against
+    # the 16MB scoped-vmem limit, at every window count. Recorded
+    # negative; the generic 4D path below handles that geometry, and
+    # `fused_attention_profitable` keeps production on XLA for it.)
     hpt = heads_per_tile or _heads_per_tile(nh, hd)
     g_pad = ((G + TILE_G - 1) // TILE_G) * TILE_G
     if g_pad != G:

@@ -37,7 +37,16 @@ def _argmin_kernel(z_ref, ct_ref, csq_ref, out_ref):
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)       # (T, K) MXU
     dist = zsq - 2.0 * scores + csq_ref[:]                      # (T, K) VPU
-    out_ref[:] = jnp.argmin(dist, axis=1, keepdims=True).astype(jnp.int32)
+    # First-index-stable argmin: Mosaic's native argmin lowering breaks
+    # lowest-index tie-break on-chip (observed on exact-duplicate
+    # codebook rows: interpret mode picks index 3, the chip picked 17).
+    # Two-pass min is tie-robust by construction: min value, then min
+    # index among exact minima.
+    T, K = dist.shape
+    m = jnp.min(dist, axis=1, keepdims=True)                    # (T, 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    cand = jnp.where(dist <= m, idx, K)
+    out_ref[:] = jnp.min(cand, axis=1, keepdims=True)
 
 
 def _pallas_argmin(z: jnp.ndarray, codebook: jnp.ndarray,

@@ -45,7 +45,11 @@ def check_attention(results) -> bool:
         mask_np = np.zeros((8, N, N), np.float32)
         mask_np[:, : N // 2, N // 2:] = -100.0
         mask_np[:, N // 2:, : N // 2] = -100.0
-        for dt, tol in ((jnp.float32, 0.0), (jnp.bfloat16, 3e-2)):
+        # fp32: the fused kernel and XLA HIGHEST einsum accumulate in
+        # different orders on-chip -> last-ulp drift (~1.5e-6 observed),
+        # NOT bit-exact like interpret mode; bf16 tolerance covers MXU
+        # rounding with fp32 softmax/accumulate.
+        for dt, tol in ((jnp.float32, 1e-5), (jnp.bfloat16, 3e-2)):
             q, k, v = (t.astype(dt) for t in (q32, k32, v32))
             for mask in (None, jnp.tile(jnp.asarray(mask_np), (G // 8, 1, 1))):
                 def ref(q, k, v):
