@@ -44,17 +44,21 @@ jax.config.update(
                  _cpu_fingerprint()))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
-# Compile time dominates suite wall-clock (single CPU core, everything
-# XLA-compiled). Disabling most XLA optimizations cuts compiles ~1.8x;
-# golden torch-parity tolerances were verified unaffected. Set
-# ESC_TPU_FULL_OPT=1 to run tests with production compilation.
-# KNOWN NUMERICAL CAVEAT: the flag destabilizes the adversarial
-# train step (finite grads -> NaN params on the 2nd GAN update, while
-# production compilation and the eager replay are both stable) —
-# tests/test_adv_stability.py re-enables full opts locally for that
-# reason. If another multi-update graph starts producing NaN only
-# under the suite, suspect this flag before the trainer.
-if not os.environ.get("ESC_TPU_FULL_OPT"):
+# The suite runs with PRODUCTION compilation (full XLA optimizations).
+# An earlier default disabled most optimizations to cut cold-compile
+# time ~1.8x, but that (a) made unoptimized code the thing actually
+# executed — with the persistent compile cache warm, full-opt runs the
+# same tests ~1.75x FASTER wall-clock (165s vs ~290s for the 5
+# heaviest training tests) — and (b) numerically destabilized the
+# adversarial train step (finite ~4e5-norm generator grads -> NaN
+# params on the 2nd GAN update; production compilation and the eager
+# replay of the same update are both stable). Cold compiles are a
+# one-time cost per machine fingerprint. Set ESC_TPU_FAST_COMPILE=1
+# to restore the old fast-compile/slow-run behavior — and if a
+# multi-update graph produces NaN only under that flag, suspect the
+# flag before the trainer (tests/test_adv_stability.py re-enables
+# full opts locally so it holds either way).
+if os.environ.get("ESC_TPU_FAST_COMPILE"):
     jax.config.update("jax_disable_most_optimizations", True)
 
 import numpy as np  # noqa: E402
