@@ -122,10 +122,10 @@ def test_gan_losses_parity(pair, rng):
     def apply(p, x):
         return flax_disc.apply({"params": p}, x)
 
-    j_d = np.asarray(discriminator_loss(apply, params, jnp.asarray(fake),
-                                        jnp.asarray(real)))
-    j_g, j_feat = generator_loss(apply, params, jnp.asarray(fake),
-                                 jnp.asarray(real))
+    j_d = np.asarray(jax.jit(discriminator_loss, static_argnums=0)(
+        apply, params, jnp.asarray(fake), jnp.asarray(real)))
+    j_g, j_feat = jax.jit(generator_loss, static_argnums=0)(
+        apply, params, jnp.asarray(fake), jnp.asarray(real))
     np.testing.assert_allclose(j_d, t_d, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_g), t_g, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(j_feat), t_feat, rtol=1e-3,
@@ -152,7 +152,9 @@ def test_generator_adv_gradient_parity(pair, rng):
         g, f = generator_loss(apply, params, fk, jnp.asarray(real))
         return jnp.sum(g) + jnp.sum(f)
 
-    j_grad = np.asarray(jax.grad(loss_fn)(jnp.asarray(fake)))
+    # jit: eager per-op grad of the 3-discriminator stack costs >1 min
+    # of dispatch on one core; the compiled graph persists in the cache.
+    j_grad = np.asarray(jax.jit(jax.grad(loss_fn))(jnp.asarray(fake)))
     cos = np.dot(t_grad.ravel(), j_grad.ravel()) / (
         np.linalg.norm(t_grad) * np.linalg.norm(j_grad) + 1e-12)
     assert cos > 0.9999, cos

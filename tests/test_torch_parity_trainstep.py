@@ -82,8 +82,11 @@ def _jax_step(model, x, num_streams, freeze):
         return grad_total, (out["cm_loss"], out["cb_loss"], mel, stft_l,
                             total)
 
-    (_, (cm, cb, mel, stft_l, total)), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(model.variables["params"])
+    # jit: un-jitted eager grad of the full model is ~2 min of per-op
+    # dispatch on one CPU core; the compiled graph persists in the
+    # suite's compilation cache across runs.
+    (_, (cm, cb, mel, stft_l, total)), grads = jax.jit(jax.value_and_grad(
+        loss_fn, has_aux=True))(model.variables["params"])
     return {"cm": np.asarray(cm), "cb": np.asarray(cb),
             "mel": np.asarray(mel), "stft": np.asarray(stft_l),
             "total": float(total),

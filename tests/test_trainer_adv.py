@@ -34,7 +34,10 @@ def adv_trainer(wav_folder):  # noqa: F811
         num_pretraining_epochs=1, num_warmup_steps=0, val_metric="SISDR",
         scheduler_type="constant", dropout_rate=0.5, pretrain_ckp=None,
         log_steps=1000, save_path=None, seed=3)
-    t = TrainerAdv(config, args)
+    # 2 devices: exercises the DP shard/replicate path at a quarter of
+    # the 8-device execution cost on one CPU core (DP-vs-single-device
+    # numeric equivalence is covered by tests/test_parallel.py).
+    t = TrainerAdv(config, args, devices=jax.devices()[:2])
     model, train_dl, _ = t.load()
     return t, model, train_dl
 
