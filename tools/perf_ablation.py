@@ -172,6 +172,12 @@ MATRIX = [
      {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
     ("train_b9_default", "train", 9, 47920,
      {"JAX_DEFAULT_MATMUL_PRECISION": "default"}),
+    # batch scaling: B=18 doubles the per-step MXU work (B>=32 is over
+    # the remote compile helper's resource limit — see verify skill)
+    ("train_b18_highest", "train", 18, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
+    ("train_b18_default", "train", 18, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "default"}),
 ]
 
 
