@@ -25,7 +25,43 @@ import time
 import numpy as np
 
 
+def _discover_devices_bounded(timeout_s=300):
+    """Fail loudly (one JSON line, exit) if device discovery hangs.
+
+    On this environment the TPU is reached through a tunnel kept alive
+    by an external relay; when the relay is down ``jax.devices()``
+    blocks forever. A hung bench records nothing — emit a diagnostic
+    line instead. Compiles are NOT under this watchdog (they may
+    legitimately take tens of minutes cold); only device discovery is.
+    """
+    import threading
+
+    import jax
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "encode_decode_rtf_per_chip",
+                "value": 0.0,
+                "unit": (f"ERROR: jax device discovery exceeded "
+                         f"{timeout_s}s — TPU tunnel down?"),
+                "vs_baseline": 0.0,
+            }), flush=True)
+            import os
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    devs = jax.devices()
+    done.set()
+    return devs
+
+
 def main():
+    _discover_devices_bounded()  # before esc_tpu import: it may touch
+    # the backend (compile-cache setup), and discovery is the hang point
+
     import jax
     import jax.numpy as jnp
 
