@@ -12,6 +12,16 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# Backend override: ESC_TPU_PLATFORM=cpu forces the JAX backend for all
+# entry points (CLIs, main.py, bench). Needed because this container's
+# sitecustomize pins JAX_PLATFORMS=axon before user code runs, so the
+# standard env var cannot deselect the TPU — e.g. to keep working when
+# the TPU tunnel relay is down, or to smoke-test pipelines host-side.
+if _os.environ.get("ESC_TPU_PLATFORM"):
+    import jax as _jax0
+
+    _jax0.config.update("jax_platforms", _os.environ["ESC_TPU_PLATFORM"])
+
 # Persistent XLA compilation cache: compiles of the jitted codec entry
 # points are reused across processes (CLIs, trainers, benchmarks).
 # Opt out with ESC_TPU_NO_COMPILE_CACHE=1 or override via the standard

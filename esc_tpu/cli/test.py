@@ -54,11 +54,11 @@ def run(args):
                     "SISDR": SISDR(), "STOI": STOI()}
     from ..metrics import HAVE_PESQ
     if not HAVE_PESQ:
-        print("NOTE: PESQ columns will be nan — the `pesq` C library is "
-              "not installed (pip install pesq, or pip install "
-              "'esc_tpu[metrics]'). The in-repo STOI column "
-              "(esc_tpu/metrics_stoi.py) still provides a perceptual "
-              "metric alongside SISDR/MelDistance.")
+        print("NOTE: PESQ scored by the in-repo NumPy P.862.2 model "
+              "(esc_tpu/metrics_pesq.py) — the `pesq` C library is not "
+              "installed (pip install pesq for exact published-number "
+              "comparability). STOI (esc_tpu/metrics_stoi.py) is "
+              "reported alongside as a second perceptual column.")
     cfg = read_yaml(f"{args.model_path}/config.yaml")
     e_counter = EntropyCounter(cfg["model"]["codebook_size"],
                                num_streams=cfg["model"]["max_streams"],

@@ -2,9 +2,10 @@
 codebook-entropy / bitrate-utilization counter.
 
 Mirrors scripts/metrics.py. Mel distance and SI-SDR are jitted JAX
-functions vmapped over the batch; PESQ stays a host-side call into the
-``pesq`` C library when installed (a pure reimplementation would break
-comparability with published numbers) and degrades to NaN otherwise.
+functions vmapped over the batch; PESQ is host-side — the ``pesq`` C
+library when installed (exact comparability with published numbers),
+falling back to the in-repo NumPy P.862.2 model (metrics_pesq.py)
+otherwise. PESQ_BACKEND records which one is active.
 """
 
 from __future__ import annotations
@@ -33,10 +34,17 @@ except ImportError:  # pragma: no cover - gated dependency
     _pesq_fn = None
     HAVE_PESQ = False
 
+# Which implementation PESQ() scores with: the ITU ANSI-C library when
+# installed (exact published-number comparability), else the in-repo
+# NumPy P.862.2 model (esc_tpu/metrics_pesq.py — bit-different from the
+# C lib but same pipeline; see its module docstring for the deltas).
+PESQ_BACKEND = "pesq-c" if HAVE_PESQ else "numpy-p862"
+
 
 class PESQ:
-    """Batch PESQ (wideband) via the host pesq C library
-    (scripts/metrics.py:79-94). Returns NaNs when the library is absent.
+    """Batch PESQ-WB (scripts/metrics.py:79-94): ITU C library when
+    installed, in-repo NumPy P.862.2 model otherwise (PESQ_BACKEND says
+    which). NaN for rows the scorer rejects (e.g. sub-frame lengths).
 
     ``lengths`` (optional, per-sample true lengths of zero-padded inputs)
     restricts scoring to each utterance's valid samples.
@@ -46,12 +54,15 @@ class PESQ:
         x = to_host(x)
         y = to_host(y)
         if not HAVE_PESQ:
-            return np.full((x.shape[0],), np.nan, dtype=np.float32)
+            from .metrics_pesq import pesq_wb
+            score = lambda a, b: pesq_wb(a, b, SR)  # noqa: E731
+        else:
+            score = lambda a, b: _pesq_fn(SR, a, b, "wb")  # noqa: E731
         out = []
         for b in range(x.shape[0]):
             n = int(lengths[b]) if lengths is not None else x.shape[-1]
             try:
-                out.append(_pesq_fn(SR, x[b, :n], y[b, :n], "wb"))
+                out.append(score(x[b, :n], y[b, :n]))
             except Exception:
                 out.append(np.nan)
         return np.asarray(out, dtype=np.float32)

@@ -26,7 +26,11 @@ from __future__ import annotations
 import functools
 
 import numpy as np
-from scipy.signal import resample_poly
+
+try:  # scipy is optional (not a declared dependency of esc_tpu):
+    from scipy.signal import resample_poly as _scipy_resample_poly
+except ImportError:  # pragma: no cover - exercised via _resample_poly test
+    _scipy_resample_poly = None
 
 __all__ = ["STOI", "stoi"]
 
@@ -39,6 +43,41 @@ MIN_FREQ = 150.0     # first band center
 SEG = 30             # frames per segment (384 ms)
 DYN_RANGE = 40.0     # silent-frame removal threshold (dB)
 BETA = -15.0         # lower SDR clipping bound (dB)
+
+
+def _resample_poly(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Polyphase rational resampling, scipy.signal.resample_poly
+    semantics (Kaiser beta=5 windowed sinc, 10*max(up,down) half-taps,
+    output length ceil(len*up/down)). Used when scipy is absent so the
+    metric stays dependency-free; scipy's C path is preferred when
+    importable because it is faster on long eval sets."""
+    if _scipy_resample_poly is not None:
+        return _scipy_resample_poly(x, up, down)
+    if up == down:
+        return x.copy()
+    n_in = len(x)
+    max_rate = max(up, down)
+    half = 10 * max_rate
+    # windowed-sinc low-pass at min(pi/up, pi/down), gain `up`
+    t = np.arange(-half, half + 1, dtype=np.float64)
+    fc = 1.0 / max_rate
+    h = fc * np.sinc(fc * t) * np.kaiser(2 * half + 1, 5.0)
+    h *= up / h.sum()  # firwin(scale=True): unity DC response, gain up
+    # upsample by zero-stuffing, filter, downsample — done directly so
+    # memory stays O(n_out * taps) without materializing the stuffed
+    # signal: y[m] = sum_k h[m*down - k*up + half] * x[k]
+    n_out = -(-n_in * up // down)
+    m = np.arange(n_out)
+    # contributing input index range per output sample
+    y = np.zeros(n_out, np.float64)
+    # valid k per m: m*down - half <= k*up <= m*down + half; anchor at
+    # the max contributing k and sweep down the full tap width
+    for k_off in range(-(2 * half) // up - 2, 1):
+        k = (m * down + half) // up + k_off
+        tap = m * down - k * up + half
+        ok = (k >= 0) & (k < n_in) & (tap >= 0) & (tap <= 2 * half)
+        y[ok] += h[tap[ok]] * x[k[ok]]
+    return y
 
 
 @functools.lru_cache(maxsize=1)
@@ -101,9 +140,16 @@ def stoi(x: np.ndarray, y: np.ndarray, sr: int = 16000) -> float:
     x, y = x[:n], y[:n]
     if sr != FS:
         g = np.gcd(int(sr), FS)
-        x = resample_poly(x, FS // g, sr // g)
-        y = resample_poly(y, FS // g, sr // g)
+        x = _resample_poly(x, FS // g, sr // g)
+        y = _resample_poly(y, FS // g, sr // g)
+    # Sub-frame (incl. zero-length) signals carry no 25.6 ms analysis
+    # frame — NaN, like the <1-segment case below. Guards the pad_eval
+    # collate, whose final partial batch pads with length-0 rows.
+    if len(x) < FRAME:
+        return float("nan")
     x, y = _remove_silent_frames(x, y)
+    if len(x) < FRAME:
+        return float("nan")
 
     X = _band_spectrogram(x)  # (15, M)
     Y = _band_spectrogram(y)

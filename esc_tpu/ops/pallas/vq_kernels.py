@@ -46,7 +46,11 @@ def _argmin_kernel(z_ref, ct_ref, csq_ref, out_ref):
     m = jnp.min(dist, axis=1, keepdims=True)                    # (T, 1)
     idx = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
     cand = jnp.where(dist <= m, idx, K)
-    out_ref[:] = jnp.min(cand, axis=1, keepdims=True)
+    code = jnp.min(cand, axis=1, keepdims=True)
+    # An all-NaN distance row leaves cand all-K (dist <= m is False for
+    # NaN); emit code 0 rather than the out-of-range sentinel K, which
+    # downstream gathers would silently clamp to the last codebook row.
+    out_ref[:] = jnp.where(code >= K, 0, code)
 
 
 def _pallas_argmin(z: jnp.ndarray, codebook: jnp.ndarray,

@@ -267,11 +267,16 @@ class Trainer:
                             and step % args.train_steps == 0 and step > 0:
                         self._sync_model(state)
                         self.evaluate(step)
+                        # discard the open timing window: host-side
+                        # evaluate() wall time must not inflate the
+                        # per-step average (next iteration re-tics)
+                        window_steps = 0
                     if (step + 1) % args.log_steps == 0:
                         self.log_step(step, time.time() - t0)
                     if step == args.pretraining_steps and step > 0:
                         self._sync_model(state)
                         self.save_ckp(state, step, tag="pretrained.ckpt")
+                        window_steps = 0
                 step += 1
                 if step >= args.max_train_steps:
                     break

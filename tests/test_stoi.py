@@ -83,3 +83,45 @@ def test_batch_wrapper_with_lengths(speechlike):
     got2 = STOI()(x, y2, lengths=np.array([len(speechlike) - SR] * 2))
     ref = STOI()(x[:, :-SR], y[:, :-SR])
     assert np.allclose(got2, ref, atol=1e-9)
+
+
+def test_zero_and_subframe_lengths_nan_not_crash(speechlike):
+    """ADVICE r3 (high): the pad_eval collate pads the final partial
+    batch with length-0 rows and eval_epoch computes metrics before the
+    keep filter — zero/sub-frame rows must yield NaN, never raise."""
+    x = np.stack([speechlike, speechlike])
+    got = STOI()(x, x, lengths=np.array([len(speechlike), 0]))
+    assert got[0] == pytest.approx(1.0, abs=1e-3)
+    assert np.isnan(got[1])
+    # sub-frame but nonzero (< 25.6 ms of audio)
+    got = STOI()(x, x, lengths=np.array([100, len(speechlike)]))
+    assert np.isnan(got[0]) and got[1] == pytest.approx(1.0, abs=1e-3)
+    assert np.isnan(stoi(np.zeros(0), np.zeros(0), SR))
+
+
+def test_fallback_resampler_matches_scipy(speechlike):
+    """The in-repo polyphase fallback (used when scipy is absent) must
+    track scipy.signal.resample_poly on the 16k->10k path STOI uses."""
+    scipy_signal = pytest.importorskip("scipy.signal")
+    import esc_tpu.metrics_stoi as ms
+
+    got = ms._resample_poly.__wrapped__(speechlike, 5, 8) \
+        if hasattr(ms._resample_poly, "__wrapped__") else None
+    # force the numpy path by nulling the scipy symbol
+    old = ms._scipy_resample_poly
+    try:
+        ms._scipy_resample_poly = None
+        ours = ms._resample_poly(speechlike, 5, 8)
+    finally:
+        ms._scipy_resample_poly = old
+    ref = scipy_signal.resample_poly(speechlike, 5, 8)
+    assert ours.shape == ref.shape
+    err = np.linalg.norm(ours - ref) / np.linalg.norm(ref)
+    assert err < 1e-6, err
+    # and the STOI score itself is insensitive to which path ran
+    try:
+        ms._scipy_resample_poly = None
+        s_fallback = stoi(speechlike, speechlike, SR)
+    finally:
+        ms._scipy_resample_poly = old
+    assert s_fallback == pytest.approx(1.0, abs=1e-3)

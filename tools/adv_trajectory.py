@@ -119,8 +119,11 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
             # generator optimizer renewal at the stage switch
             state = (state[0], trainer.tx.init(state[0]), state[2],
                      state[3])
-            traj.append(evaluate(state[0], step, "pretrain", aux))
-            print(json.dumps(traj[-1]), flush=True)
+            if pretrain_steps % eval_every != 0:
+                # when eval_every divides pretrain_steps this step was
+                # already logged by the boundary branch below
+                traj.append(evaluate(state[0], step, "pretrain", aux))
+                print(json.dumps(traj[-1]), flush=True)
         ns = jnp.asarray(
             ns_max if freeze else
             quantization_dropout(args.dropout_rate, ns_max, drop_rng),
