@@ -81,6 +81,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="optional JSON output path")
     p.add_argument("--streams", type=int, nargs="*",
                    default=[1, 2, 3, 4, 5, 6])
+    p.add_argument("--corpus", choices=("harmonic", "speechlike"),
+                   default="harmonic",
+                   help="eval corpus; use the one the checkpoint was "
+                        "trained on for apples-to-apples curves")
     a = p.parse_args(argv)
 
     import jax
@@ -92,10 +96,14 @@ def main(argv=None) -> int:
     from esc_tpu.train.trainer import Trainer
     from esc_tpu.utils import dict2namespace
     from tools.quality_longrun import BASE_CONFIG
-    from tools.quality_trajectory import make_corpus
 
     with tempfile.TemporaryDirectory() as d:
-        make_corpus(d, noise=0.0)
+        if a.corpus == "speechlike":
+            from tools.speech_corpus import make_speech_corpus
+            make_speech_corpus(d)
+        else:
+            from tools.quality_trajectory import make_corpus
+            make_corpus(d, noise=0.0)
         config = dict2namespace({
             "data": {"train_data_path": d, "val_data_path": d,
                      "num_workers": 0, "train_bs_per_device": 8,
@@ -121,7 +129,9 @@ def main(argv=None) -> int:
         jnp.asarray, payload["model_state_dict"])}
     print(f"loaded params from {a.ckpt}", flush=True)
 
-    mel_fn, sdr_fn, stoi_fn = MelSpectrogramDistance(), SISDR(), STOI()
+    from esc_tpu.metrics import PESQ
+    mel_fn, sdr_fn, stoi_fn, pesq_fn = (MelSpectrogramDistance(), SISDR(),
+                                        STOI(), PESQ())
     x = batches[0]
     rows = []
     xh = np.asarray(x)
@@ -136,14 +146,17 @@ def main(argv=None) -> int:
             "SISDR_aligned": round(float(np.mean([v for v, _ in al])), 3),
             "lags": [lag for _, lag in al],
             "STOI": round(float(np.nanmean(stoi_fn(xh, recon))), 3),
+            "PESQ": round(float(np.nanmean(pesq_fn(xh, recon))), 3),
             "MelDist": round(float(np.mean(mel_fn(x, recon))), 3),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
 
     if a.out:
+        from esc_tpu.metrics import PESQ_BACKEND
         with open(a.out, "w") as f:
             json.dump({"ckpt": a.ckpt, "backend": jax.default_backend(),
+                       "corpus": a.corpus, "pesq_backend": PESQ_BACKEND,
                        "curve": rows}, f, indent=2)
         print(f"curve written to {a.out}")
     return 0

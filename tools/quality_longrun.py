@@ -51,7 +51,10 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
                 init_ckpt: str | None = None,
                 save_ckpt: str | None = None,
                 mode: str = "loop",
-                fixed_ns: int | None = None) -> Dict:
+                fixed_ns: int | None = None,
+                corpus_desc: str =
+                "16 noise-free harmonic clips (make_corpus noise=0)",
+                ) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -186,7 +189,7 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         "lr": lr,
         "init_ckpt": init_ckpt,
         "config": "ESC-Base (8.39M params, codebook_dims [8]*6)",
-        "corpus": "16 noise-free harmonic clips (make_corpus noise=0)",
+        "corpus": corpus_desc,
         "recipe": "freeze pretrain -> quantization-dropout main, "
                   "constant lr, optimizer renewal at the switch",
         "eval_streams": list(eval_streams),
@@ -208,15 +211,29 @@ def main(argv=None) -> int:
     p.add_argument("--fixed-ns", type=int, default=None,
                    help="train every step at this stream count "
                         "(diagnostic; default: quantization dropout)")
+    p.add_argument("--corpus", choices=("harmonic", "speechlike"),
+                   default="harmonic",
+                   help="harmonic: the r3 periodic stacks; speechlike: "
+                        "glottal-pulse/formant synthesis with transient "
+                        "anchors (tools/speech_corpus.py) — required for "
+                        "meaningful low-bitrate SI-SDR")
     a = p.parse_args(argv)
-    from tools.quality_trajectory import make_corpus
     with tempfile.TemporaryDirectory() as d:
-        make_corpus(d, noise=0.0)
+        if a.corpus == "speechlike":
+            from tools.speech_corpus import make_speech_corpus
+            make_speech_corpus(d)
+            corpus_desc = "32 speech-like source-filter clips " \
+                          "(speech_corpus.py seed 7)"
+        else:
+            from tools.quality_trajectory import make_corpus
+            make_corpus(d, noise=0.0)
+            corpus_desc = "16 noise-free harmonic clips (make_corpus noise=0)"
         result = run_longrun(d, total_steps=a.steps,
                              pretrain_steps=a.pretrain_steps, scan=a.scan,
                              eval_every=a.eval_every, lr=a.lr,
                              init_ckpt=a.init_ckpt, save_ckpt=a.save_ckpt,
-                             mode=a.mode, fixed_ns=a.fixed_ns)
+                             mode=a.mode, fixed_ns=a.fixed_ns,
+                             corpus_desc=corpus_desc)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
