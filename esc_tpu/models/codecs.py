@@ -15,9 +15,10 @@ variants per entry point, cached by jax.jit.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -32,6 +33,13 @@ from .csrvq import CrossScaleRVQDecoder
 
 __all__ = ["ESCModule", "RVQModule", "ESC", "RVQCodecs", "model_dict",
            "make_model"]
+
+
+def _prec_scope(name: Optional[str]):
+    """Trace-time matmul-precision scope; explicit per-op precisions
+    (VQ distance, STFT GEMMs) are unaffected."""
+    return (jax.default_matmul_precision(name) if name
+            else contextlib.nullcontext())
 
 
 class ESCModule(nn.Module):
@@ -58,6 +66,18 @@ class ESCModule(nn.Module):
     kernel_size: Sequence[int] = (5, 2)
     conv_depth: int = 1
     dtype: Any = jnp.float32
+    # Per-submodule matmul precision override (None = inherit the global
+    # jax_default_matmul_precision, which esc_tpu pins to "highest").
+    # Round-3 A/B showed flipping the GLOBAL default to MXU-native
+    # regresses quality (tests/golden/precision_arms.json) even though
+    # the loss-STFT and VQ-distance GEMMs carry explicit HIGHEST — the
+    # sensitivity lives in the model bulk. These knobs scope the
+    # experiment: e.g. enc_precision="default" keeps decoder gradients
+    # fp32 while the encoder rides the fast MXU path. Explicit
+    # per-op precisions (VQ distance, STFT GEMMs) always win over this
+    # scope, so parity-critical ops stay fp32 regardless.
+    enc_precision: Optional[str] = None
+    dec_precision: Optional[str] = None
 
     def setup(self):
         h = list(self.h_dims)
@@ -110,10 +130,12 @@ class ESCModule(nn.Module):
                                     self.hop_len, self.sr)
         else:
             x_feat = x_feat.transpose(0, 3, 1, 2)  # (B,F,T,2) -> (B,2,F,T)
-        enc_hs, feat_shape = self.encoder(x_feat, training=training)
-        recon_feat, codes, cm_loss, cb_loss = self.decoder(
-            enc_hs, num_streams, self.quantizers, feat_shape,
-            freeze_vq=freeze_codebook, training=training)
+        with _prec_scope(self.enc_precision):
+            enc_hs, feat_shape = self.encoder(x_feat, training=training)
+        with _prec_scope(self.dec_precision):
+            recon_feat, codes, cm_loss, cb_loss = self.decoder(
+                enc_hs, num_streams, self.quantizers, feat_shape,
+                freeze_vq=freeze_codebook, training=training)
         recon_x = audio_reconstruct(recon_feat, self.in_freq, self.win_len,
                                     self.hop_len, self.sr)
         return {"cm_loss": cm_loss, "cb_loss": cb_loss,
@@ -125,13 +147,17 @@ class ESCModule(nn.Module):
         """Waveform -> multi-scale codes (esc/models/codecs.py:68-81)."""
         x_feat = spec_transform(x, self.in_freq, self.win_len, self.hop_len,
                                 self.sr)
-        enc_hs, feat_shape = self.encoder(x_feat, training=False)
-        return self.decoder.encode(enc_hs, num_streams, self.quantizers,
-                                   feat_shape)
+        with _prec_scope(self.enc_precision):
+            enc_hs, feat_shape = self.encoder(x_feat, training=False)
+        with _prec_scope(self.dec_precision):
+            return self.decoder.encode(enc_hs, num_streams, self.quantizers,
+                                       feat_shape)
 
     def decode(self, codes, feat_shape: Tuple[int, int]):
         """Codes -> waveform (esc/models/codecs.py:83-94)."""
-        recon_feat = self.decoder.decode(codes, self.quantizers, feat_shape)
+        with _prec_scope(self.dec_precision):
+            recon_feat = self.decoder.decode(codes, self.quantizers,
+                                             feat_shape)
         return audio_reconstruct(recon_feat, self.in_freq, self.win_len,
                                  self.hop_len, self.sr)
 

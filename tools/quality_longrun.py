@@ -54,6 +54,9 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
                 fixed_ns: int | None = None,
                 corpus_desc: str =
                 "16 noise-free harmonic clips (make_corpus noise=0)",
+                dropout_rate: float = 0.75,
+                enc_precision: str | None = None,
+                dec_precision: str | None = None,
                 ) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -63,19 +66,29 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
     from esc_tpu.train.trainer import Trainer, make_multi_step
     from esc_tpu.utils import dict2namespace
 
+    model_cfg = dict(BASE_CONFIG)
+    if enc_precision:
+        model_cfg["enc_precision"] = enc_precision
+    if dec_precision:
+        model_cfg["dec_precision"] = dec_precision
     config = dict2namespace({
         "data": {"train_data_path": data_dir, "val_data_path": data_dir,
                  "num_workers": 0, "train_bs_per_device": 8,
                  "val_bs_per_device": 8},
         "model_name": "csvq+swinT",
-        "model": BASE_CONFIG,
+        "model": model_cfg,
         "loss": {"stft_weight": 1.0, "cm_weight": 0.25, "cb_weight": 1.0,
                  "mel_weight": 0.25},
     })
+    # dropout_rate 0.75 is the reference PAPER recipe (README.md:43
+    # --dropout_rate 0.75); the r1-r3 longruns ran 0.5, halving
+    # reduced-stream training pressure — a prime suspect in the
+    # ns<6 collapse (artifacts/bitrate_curve_stageC.json: the decoder
+    # routed everything through the last stream).
     args = argparse.Namespace(
         exp_name="longrun", lr=lr, num_epochs=1, num_pretraining_epochs=0,
         num_warmup_steps=0, val_metric="SISDR", scheduler_type="constant",
-        dropout_rate=0.5, pretrain_ckp=None, log_steps=10 ** 9,
+        dropout_rate=dropout_rate, pretrain_ckp=None, log_steps=10 ** 9,
         save_path=None, seed=seed)
 
     trainer = Trainer(config, args, devices=jax.devices()[:1])
@@ -186,6 +199,9 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         "scan": K,
         "mode": mode,
         "fixed_ns": fixed_ns,
+        "dropout_rate": dropout_rate,
+        "enc_precision": enc_precision,
+        "dec_precision": dec_precision,
         "lr": lr,
         "init_ckpt": init_ckpt,
         "config": "ESC-Base (8.39M params, codebook_dims [8]*6)",
@@ -211,6 +227,14 @@ def main(argv=None) -> int:
     p.add_argument("--fixed-ns", type=int, default=None,
                    help="train every step at this stream count "
                         "(diagnostic; default: quantization dropout)")
+    p.add_argument("--dropout-rate", type=float, default=0.75,
+                   help="quantization-dropout prob (reference paper "
+                        "recipe: 0.75; r1-r3 longruns ran 0.5)")
+    p.add_argument("--enc-precision", default=None,
+                   help="matmul precision scope for the encoder only "
+                        "(default/high/highest) — selective-precision arm")
+    p.add_argument("--dec-precision", default=None,
+                   help="matmul precision scope for the decoder only")
     p.add_argument("--corpus", choices=("harmonic", "speechlike"),
                    default="harmonic",
                    help="harmonic: the r3 periodic stacks; speechlike: "
@@ -233,7 +257,10 @@ def main(argv=None) -> int:
                              eval_every=a.eval_every, lr=a.lr,
                              init_ckpt=a.init_ckpt, save_ckpt=a.save_ckpt,
                              mode=a.mode, fixed_ns=a.fixed_ns,
-                             corpus_desc=corpus_desc)
+                             corpus_desc=corpus_desc,
+                             dropout_rate=a.dropout_rate,
+                             enc_precision=a.enc_precision,
+                             dec_precision=a.dec_precision)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -90,7 +90,18 @@ if [ "$START" -le 7 ]; then
 fi
 
 if [ "$START" -le 8 ]; then
-  step 8 "perf_ablation full matrix (fused/encdec rows, MFU estimate)"
+  step 8 "armEncDefault: 10k steps, encoder-only MXU-default matmuls from stageC"
+  timeout 7200 python tools/quality_longrun.py --steps 10000 \
+    --pretrain-steps 0 --scan 500 --eval-every 2500 --lr 1e-4 \
+    --mode scan --enc-precision default \
+    --init-ckpt /tmp/esc_longrun/stageC.ckpt \
+    --out "$ART/armEncDefault.json" \
+    > /tmp/esc_longrun/armEncDefault.log 2>&1
+  echo "armEncDefault exit=$?" | tee -a "$LOG"
+fi
+
+if [ "$START" -le 9 ]; then
+  step 9 "perf_ablation full matrix (fused/encdec rows, MFU estimate)"
   timeout 5400 python tools/perf_ablation.py > /tmp/r4_perf_ablation.log 2>&1
   echo "perf_ablation exit=$?" | tee -a "$LOG"
 fi
