@@ -21,7 +21,38 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 __all__ = ["load_wav", "save_wav", "EvalSet", "make_dataloader",
-           "quantization_dropout"]
+           "quantization_dropout", "download_data_hf"]
+
+
+def download_data_hf(repo_id: str = "../dnscustom",
+                     filename: str = "testset.tar.gz",
+                     local_dir: str = "./data",
+                     extract: bool = False) -> str:
+    """Fetch a dataset file from the Hugging Face hub
+    (scripts/utils.py:93-102), optionally extracting tarballs.
+
+    Gated on ``huggingface_hub`` being importable AND network egress
+    existing — neither holds in the zero-egress build/CI image, so the
+    import happens lazily and failures raise with a actionable message
+    instead of breaking `import esc_tpu.train.data` for everyone else.
+    """
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "download_data_hf needs the optional `huggingface_hub` "
+            "package (pip install huggingface_hub). In an offline "
+            "deployment, place the eval wavs under data/ manually — "
+            "every other esc_tpu component is egress-free.") from e
+    file_path = hf_hub_download(repo_id=repo_id, filename=filename,
+                                repo_type="dataset", local_dir=local_dir)
+    print(f"File has been downloaded and is located at {file_path}")
+    if extract and str(file_path).endswith((".tar.gz", ".tgz", ".tar")):
+        import tarfile
+        with tarfile.open(file_path) as tf:
+            tf.extractall(local_dir, filter="data")
+        print(f"Extracted into {local_dir}")
+    return file_path
 
 
 def _load_wav_python(path: str) -> np.ndarray:
