@@ -61,9 +61,53 @@ def build_step(B: int, L: int):
     return step, state, batch
 
 
+def component_breakdown(B: int, L: int) -> dict:
+    """XLA-cost-analysis FLOPs of the step's pieces (all jitted
+    standalone): encoder fwd, full fwd, train fwd (w/ losses), and the
+    loss transforms alone. Backward ~2x forward; Adam is negligible."""
+    import jax
+    import jax.numpy as jnp
+
+    from esc_tpu.models import ESC
+    from esc_tpu.modules.losses import (complex_stft_loss,
+                                        mel_spectrogram_loss)
+    from tools.quality_longrun import BASE_CONFIG
+
+    model = ESC(**BASE_CONFIG)
+    model.init_params(example_len=L)
+    module = model.module
+    V = model.variables
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((0.2 * rng.standard_normal((B, L))).astype(np.float32))
+    ns = jnp.asarray(6, jnp.int32)
+
+    def flops_of(fn, *args):
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        c = c[0] if isinstance(c, (list, tuple)) else c
+        return float(c.get("flops", float("nan")))
+
+    fwd = lambda v, xx: module.apply(v, xx, None, ns, False, True)  # noqa
+    out = fwd(V, x)
+    raw_feat, recon_feat = out["raw_feat"], out["recon_feat"]
+    raw_a, recon_a = out["raw_audio"], out["recon_audio"]
+
+    rows = {
+        "encode_path": flops_of(lambda v, xx: module.apply(
+            v, xx, 6, method="encode"), V, x),
+        "full_train_fwd": flops_of(
+            lambda v, xx: fwd(v, xx)["recon_audio"], V, x),
+        "mel_loss_alone": flops_of(
+            lambda a, b: mel_spectrogram_loss(a, b), raw_a, recon_a),
+        "stft_loss_alone": flops_of(
+            lambda a, b: complex_stft_loss(a, b), raw_feat, recon_feat),
+    }
+    return {k: round(v / 1e9, 2) for k, v in rows.items()}  # GFLOPs
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=9)
+    p.add_argument("--breakdown", action="store_true")
     p.add_argument("--clip-len", type=int, default=47920)
     p.add_argument("--step-ms", type=float, default=493.0,
                    help="fetch-verified on-chip step time to divide by "
@@ -120,6 +164,8 @@ def main(argv=None) -> int:
         "note": "flops from XLA cost analysis of the compiled step "
                 "(batch fwd+bwd+adam); peaks are v5e datasheet",
     }
+    if a.breakdown:
+        out["component_gflops"] = component_breakdown(a.batch, a.clip_len)
     print(json.dumps(out))
     if a.out:
         with open(a.out, "w") as f:
