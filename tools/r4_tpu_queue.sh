@@ -61,7 +61,24 @@ if [ "$START" -le 5 ]; then
 fi
 
 if [ "$START" -le 6 ]; then
-  step 6 "speechlike stageA: 40k steps from scratch on the transient-anchored corpus"
+  step 6 "nsRescue: +10k steps from stageC at dropout 1.0 (tests the cliff diagnosis cheaply)"
+  timeout 7200 python tools/quality_longrun.py --steps 10000 \
+    --pretrain-steps 0 --scan 500 --eval-every 2500 --lr 1e-4 \
+    --mode scan --dropout-rate 1.0 \
+    --init-ckpt /tmp/esc_longrun/stageC.ckpt \
+    --save-ckpt /tmp/esc_longrun/nsRescue.ckpt \
+    --out "$ART/nsRescue.json" \
+    > /tmp/esc_longrun/nsRescue.log 2>&1
+  echo "nsRescue exit=$?" | tee -a "$LOG"
+  timeout 3600 python tools/eval_bitrate_curve.py \
+    --ckpt /tmp/esc_longrun/nsRescue.ckpt \
+    --out "$ART/bitrate_curve_nsRescue.json" \
+    > /tmp/r4_curve_rescue.log 2>&1
+  echo "rescue curve exit=$?" | tee -a "$LOG"
+fi
+
+if [ "$START" -le 7 ]; then
+  step 7 "speechlike stageA: 40k steps from scratch on the transient-anchored corpus"
   timeout 28800 python tools/quality_longrun.py --steps 40000 \
     --pretrain-steps 5000 --scan 500 --eval-every 5000 --lr 4e-4 \
     --mode scan --corpus speechlike \
@@ -78,8 +95,8 @@ if [ "$START" -le 6 ]; then
   echo "speech curve exit=$?" | tee -a "$LOG"
 fi
 
-if [ "$START" -le 7 ]; then
-  step 7 "armHigh: 10k steps at matmul precision=high from stageC (A/B vs highest/default)"
+if [ "$START" -le 8 ]; then
+  step 8 "armHigh: 10k steps at matmul precision=high from stageC (A/B vs highest/default)"
   JAX_DEFAULT_MATMUL_PRECISION=high timeout 7200 \
     python tools/quality_longrun.py --steps 10000 --pretrain-steps 0 \
     --scan 500 --eval-every 2500 --lr 1e-4 --mode scan \
@@ -89,8 +106,8 @@ if [ "$START" -le 7 ]; then
   echo "armHigh exit=$?" | tee -a "$LOG"
 fi
 
-if [ "$START" -le 8 ]; then
-  step 8 "armEncDefault: 10k steps, encoder-only MXU-default matmuls from stageC"
+if [ "$START" -le 9 ]; then
+  step 9 "armEncDefault: 10k steps, encoder-only MXU-default matmuls from stageC"
   timeout 7200 python tools/quality_longrun.py --steps 10000 \
     --pretrain-steps 0 --scan 500 --eval-every 2500 --lr 1e-4 \
     --mode scan --enc-precision default \
@@ -100,8 +117,8 @@ if [ "$START" -le 8 ]; then
   echo "armEncDefault exit=$?" | tee -a "$LOG"
 fi
 
-if [ "$START" -le 9 ]; then
-  step 9 "perf_ablation full matrix (fused/encdec rows, MFU estimate)"
+if [ "$START" -le 10 ]; then
+  step 10 "perf_ablation full matrix (fused/encdec rows, MFU estimate)"
   timeout 5400 python tools/perf_ablation.py > /tmp/r4_perf_ablation.log 2>&1
   echo "perf_ablation exit=$?" | tee -a "$LOG"
 fi
