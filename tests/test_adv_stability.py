@@ -70,7 +70,9 @@ def test_adv_stage_short_run_is_stable(tmp_path):
 
     corpus = tmp_path / "corpus"
     make_corpus(str(corpus))
-    was = jax.config.jax_disable_most_optimizations
+    # jax 0.9 removed attribute access for unregistered flags; read()
+    # is the stable API
+    was = jax.config.read("jax_disable_most_optimizations")
     jax.config.update("jax_disable_most_optimizations", False)
     small_disc = {"sample_rate": 16000, "rates": [], "periods": [2, 3],
                   "fft_sizes": [512, 256],
