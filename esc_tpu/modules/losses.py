@@ -6,6 +6,9 @@ reductions throughout (the trainers weight and then ``.mean()``).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..ops.mel import mel_spectrogram, MEL_WINDOWS, MEL_BINS
@@ -14,12 +17,38 @@ __all__ = ["power_law", "complex_stft_loss", "mel_spectrogram_loss",
            "ComplexSTFTLoss", "MelSpectrogramLoss"]
 
 POWER = 0.3
+# Gradient-safety floor: d/dx (|x|+1e-10)^0.3 is ~0.3e7 at x=0, so a
+# batch with digitally-silent stretches (exact-zero STFT bins) explodes
+# the generator gradient by ~1e6x (measured: gradnorm 1e11 vs 1e5 on a
+# silence-free corpus) and global clipping then erases the step. The
+# reference (generator_loss.py:31-35) has the same singularity but its
+# DNS recordings never contain exact zeros. We keep the FORWARD bit-
+# identical and clamp only the derivative's |x| at GRAD_FLOOR — below
+# the quietest content a 16-bit recording can represent, where the
+# true derivative is astronomically large and carries no information.
+GRAD_FLOOR = 1e-4
 
 
+@functools.partial(jax.custom_jvp, nondiff_argnums=(1, 2))
 def power_law(stft: jnp.ndarray, power: float = POWER,
               eps: float = 1e-10) -> jnp.ndarray:
-    """Signed power-law compression |x|^p * sign(x) (generator_loss.py:31-35)."""
+    """Signed power-law compression |x|^p * sign(x) (generator_loss.py:31-35).
+
+    Forward matches the reference exactly; the derivative is clamped at
+    GRAD_FLOOR magnitude (see above) so digital silence cannot blow up
+    training gradients.
+    """
     return jnp.sign(stft) * (jnp.abs(stft) + eps) ** power
+
+
+@power_law.defjvp
+def _power_law_jvp(power, eps, primals, tangents):
+    (stft,) = primals
+    (dstft,) = tangents
+    out = jnp.sign(stft) * (jnp.abs(stft) + eps) ** power
+    mag = jnp.maximum(jnp.abs(stft), GRAD_FLOOR)
+    d = power * (mag + eps) ** (power - 1.0)
+    return out, d * dstft
 
 
 def complex_stft_loss(raw_feat: jnp.ndarray, recon_feat: jnp.ndarray,

@@ -46,7 +46,8 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                        init_ckpt: str | None = None,
                        model_config: dict | None = None,
                        disc_config: dict | None = None,
-                       batch_size: int = 8) -> Dict:
+                       batch_size: int = 8,
+                       save_ckpt: str | None = None) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -133,6 +134,23 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         if (step + 1) % eval_every == 0 or step + 1 == total:
             traj.append(evaluate(state[0], step + 1, stage, aux))
             print(json.dumps(traj[-1]), flush=True)
+    if save_ckpt:
+        import os as _os
+
+        from esc_tpu.checkpoint import save_checkpoint
+        save_checkpoint(_os.path.dirname(save_ckpt) or ".",
+                        _os.path.basename(save_ckpt),
+                        step=pretrain_steps + adv_steps,
+                        model_state=jax.device_get(state[0]),
+                        optimizer_state=jax.device_get(state[1]),
+                        scheduler_state={"type": "constant",
+                                         "step": pretrain_steps + adv_steps},
+                        best_perf=-1.0,
+                        extra={"model_disc_state_dict":
+                                   jax.device_get(state[2]),
+                               "optimizer_disc_state_dict":
+                                   jax.device_get(state[3])})
+        print(f"adv params saved to {save_ckpt}", flush=True)
     return {
         "backend": jax.default_backend(),
         "seed": seed,
@@ -158,6 +176,7 @@ def main(argv=None) -> int:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--init-ckpt", type=str, default=None)
     p.add_argument("--out", type=str, default=GOLDEN)
+    p.add_argument("--save-ckpt", type=str, default=None)
     p.add_argument("--batch-size", type=int, default=8,
                    help="smaller batches shrink the fused gen+disc step "
                         "graph (this environment's compile helper OOMs "
@@ -169,7 +188,7 @@ def main(argv=None) -> int:
         result = run_adv_trajectory(
             d, pretrain_steps=a.pretrain_steps, adv_steps=a.adv_steps,
             eval_every=a.eval_every, lr=a.lr, init_ckpt=a.init_ckpt,
-            batch_size=a.batch_size)
+            batch_size=a.batch_size, save_ckpt=a.save_ckpt)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)

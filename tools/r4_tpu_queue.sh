@@ -123,4 +123,19 @@ if [ "$START" -le 10 ]; then
   echo "perf_ablation exit=$?" | tee -a "$LOG"
 fi
 
+if [ "$START" -le 11 ]; then
+  step 11 "adv stage: 5k adversarial steps from best ckpt (paper: +1.8 dB over non-adv), batch 4"
+  CKPT=/tmp/esc_longrun/stageD.ckpt
+  [ -f "$CKPT" ] || CKPT=/tmp/esc_longrun/stageC.ckpt
+  timeout 14400 python tools/adv_trajectory.py --pretrain-steps 0 \
+    --adv-steps 5000 --eval-every 500 --lr 1e-4 --batch-size 4 \
+    --init-ckpt "$CKPT" \
+    --save-ckpt /tmp/esc_longrun/stageAdv.ckpt \
+    --out "$ART/stageAdv.json" \
+    > /tmp/esc_longrun/stageAdv.log 2>&1
+  echo "adv stage exit=$?" | tee -a "$LOG"
+  [ -f /tmp/esc_longrun/stageAdv.ckpt ] && \
+    cp /tmp/esc_longrun/stageAdv.ckpt "$ART/stageAdv.ckpt"
+fi
+
 echo "=== r4 queue done $(date -u)" | tee -a "$LOG"

@@ -171,6 +171,12 @@ def _synth_clip(rng: np.random.Generator, clip_len: int = CLIP_LEN,
         syl_i += 1
 
     audio = audio / (np.abs(audio).max() + 1e-9) * 0.71
+    # recording-floor dither (-75 dB): real corpora (the reference's DNS
+    # recordings) never contain exact digital zeros; bit-true silence
+    # sits on the power-law loss's gradient singularity (losses.py
+    # GRAD_FLOOR note). Inaudible and far below the -34 dB level where
+    # the r3 noise-floor loss pathology appeared.
+    audio = audio + 1.8e-4 * rng.standard_normal(clip_len)
     if snr_db is not None:
         noise = rng.standard_normal(clip_len)
         noise *= np.linalg.norm(audio) / np.linalg.norm(noise) \
