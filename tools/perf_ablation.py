@@ -106,7 +106,17 @@ def _probe_encode_decode(B, L):
     return out
 
 
-def _probe_trainstep(B, L):
+# MXU-aligned channel dims (DESIGN.md 9b): the reference h_dims
+# 45/72/96 pad to the 128-wide MXU lanes; this variant rounds every
+# stage to 64/128 boundaries (head_dim stays >= 12) to measure what the
+# geometry alone costs. Params grow 8.4M -> ~11M; the row reports both.
+TPU_GEOM = dict(
+    h_dims=[64, 64, 128, 128, 192, 384],
+    swin_heads=[4, 8, 8, 16, 24],
+)
+
+
+def _probe_trainstep(B, L, enc_prec=None, dec_prec=None, geom=None):
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
@@ -116,7 +126,14 @@ def _probe_trainstep(B, L):
     from esc_tpu.train.trainer import Trainer
     from tools.quality_longrun import BASE_CONFIG
 
-    model = ESC(**BASE_CONFIG)
+    cfg = dict(BASE_CONFIG)
+    if geom == "tpu":
+        cfg.update(TPU_GEOM)
+    if enc_prec:
+        cfg["enc_precision"] = enc_prec
+    if dec_prec:
+        cfg["dec_precision"] = dec_prec
+    model = ESC(**cfg)
     model.init_params(example_len=L)
     tr = Trainer(SimpleNamespace(), SimpleNamespace(seed=53))
     tr.loss_weights = {"cm": 0.25, "cb": 1.0, "mel": 0.25, "stft": 1.0}
@@ -141,13 +158,67 @@ def _probe_trainstep(B, L):
     return best / iters * 1e3
 
 
-def run_probe(name, B, L, dtype_name):
+def _probe_train_scan(B, L, chunk=100, enc_prec=None, dec_prec=None,
+                      geom=None):
+    """Sustained train throughput: `chunk` steps fused in one lax.scan
+    dispatch (the longrun's production mode). The per-step probe above
+    pays the remote-tunnel dispatch latency on EVERY step (~370 ms on
+    this environment), which buries the device time; real training
+    amortizes it over scan chunks, so this row is the honest number to
+    compare against the reference's per-GPU step time."""
+    import jax
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from esc_tpu.models import ESC
+    from esc_tpu.train.optim import make_optimizer, make_schedule
+    from esc_tpu.train.trainer import Trainer, make_multi_step
+    from tools.quality_longrun import BASE_CONFIG
+
+    cfg = dict(BASE_CONFIG)
+    if geom == "tpu":
+        cfg.update(TPU_GEOM)
+    if enc_prec:
+        cfg["enc_precision"] = enc_prec
+    if dec_prec:
+        cfg["dec_precision"] = dec_prec
+    model = ESC(**cfg)
+    model.init_params(example_len=L)
+    tr = Trainer(SimpleNamespace(), SimpleNamespace(seed=53))
+    tr.loss_weights = {"cm": 0.25, "cb": 1.0, "mel": 0.25, "stft": 1.0}
+    tr.tx = make_optimizer(make_schedule("constant", 1e-4, total_steps=1000,
+                                         warmup_steps=0), clip_norm=0.5)
+    step = tr._make_step_fn(model.module)
+    multi = make_multi_step(step.core, False)
+    params = model.variables["params"]
+    state = (params, tr.tx.init(params))
+    rng = np.random.default_rng(0)
+    batches = jax.device_put(
+        (0.2 * rng.standard_normal((chunk, B, L))).astype(np.float32))
+    ns = jnp.full((chunk,), 6, jnp.int32)
+    state, auxs = multi(state, batches, ns)
+    float(np.asarray(auxs["loss"])[-1])          # warm + fetch
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, auxs = multi(state, batches, ns)  # chunk steps, chained
+        float(np.asarray(auxs["loss"])[-1])      # real D2H fetch
+        best = min(best, time.perf_counter() - t0)
+    return best / chunk * 1e3
+
+
+def run_probe(name, B, L, dtype_name, enc_prec=None, dec_prec=None,
+              geom=None):
     if name == "rt":
         return {"roundtrip_ms": _probe_roundtrip(B, L, dtype_name)}
     if name == "encdec":
         return _probe_encode_decode(B, L)
     if name == "train":
-        return {"train_step_ms": _probe_trainstep(B, L)}
+        return {"train_step_ms": _probe_trainstep(
+            B, L, enc_prec=enc_prec, dec_prec=dec_prec, geom=geom)}
+    if name == "trainscan":
+        return {"train_step_ms_sustained": _probe_train_scan(
+            B, L, enc_prec=enc_prec, dec_prec=dec_prec, geom=geom)}
     raise SystemExit(f"unknown probe {name}")
 
 
@@ -178,6 +249,34 @@ MATRIX = [
      {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
     ("train_b18_default", "train", 18, 47920,
      {"JAX_DEFAULT_MATMUL_PRECISION": "default"}),
+    # scoped policy (codecs.py enc_precision/dec_precision): bulk Swin
+    # matmuls on the MXU, per-op HIGHEST kept on the VQ distance and
+    # STFT/mel loss GEMMs — the selective arm from VERDICT r3 item 2
+    ("train_b9_scoped_encdec", "train", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest",
+      "ENC_PREC": "default", "DEC_PREC": "default"}),
+    ("train_b9_scoped_enc", "train", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest", "ENC_PREC": "default"}),
+    # MXU-aligned geometry (DESIGN.md 9b): what does the reference's
+    # 45/72/96-wide padding actually cost vs 64/128-aligned dims?
+    ("train_b9_tpugeom_highest", "train", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest", "GEOM": "tpu"}),
+    ("train_b9_tpugeom_scoped", "train", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest", "GEOM": "tpu",
+      "ENC_PREC": "default", "DEC_PREC": "default"}),
+    # sustained scan-mode throughput (production training mode): the
+    # per-step rows above include ~370 ms remote-dispatch latency per
+    # step; these are the honest per-device numbers vs the reference
+    ("trainscan_b9_highest", "trainscan", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
+    ("trainscan_b9_default", "trainscan", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "default"}),
+    ("trainscan_b9_scoped_encdec", "trainscan", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest",
+      "ENC_PREC": "default", "DEC_PREC": "default"}),
+    ("trainscan_b9_tpugeom_scoped", "trainscan", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "highest", "GEOM": "tpu",
+      "ENC_PREC": "default", "DEC_PREC": "default"}),
 ]
 
 
@@ -187,13 +286,18 @@ def main(argv=None) -> int:
     p.add_argument("--B", type=int, default=16)
     p.add_argument("--L", type=int, default=47920)
     p.add_argument("--dtype", default="fp32")
+    p.add_argument("--enc-prec", default=None)
+    p.add_argument("--dec-prec", default=None)
+    p.add_argument("--geom", default=None)
     p.add_argument("--only", default=None,
                    help="substring filter over matrix tags")
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
 
     if a.probe:
-        r = run_probe(a.probe, a.B, a.L, a.dtype)
+        r = run_probe(a.probe, a.B, a.L, a.dtype,
+                      enc_prec=a.enc_prec, dec_prec=a.dec_prec,
+                      geom=a.geom)
         print("PROBE_RESULT " + json.dumps(r), flush=True)
         return 0
 
@@ -204,10 +308,18 @@ def main(argv=None) -> int:
         child_env = {k: v for k, v in os.environ.items()
                      if k not in ("ESC_TPU_FUSED_ATTN",
                                   "JAX_DEFAULT_MATMUL_PRECISION")}
-        child_env.update({k: v for k, v in env.items() if k != "DTYPE"})
+        _local = ("DTYPE", "ENC_PREC", "DEC_PREC", "GEOM")
+        child_env.update({k: v for k, v in env.items()
+                          if k not in _local})
         cmd = [sys.executable, os.path.abspath(__file__), "--probe", probe,
                "--B", str(B), "--L", str(L),
                "--dtype", env.get("DTYPE", "fp32")]
+        if env.get("ENC_PREC"):
+            cmd += ["--enc-prec", env["ENC_PREC"]]
+        if env.get("DEC_PREC"):
+            cmd += ["--dec-prec", env["DEC_PREC"]]
+        if env.get("GEOM"):
+            cmd += ["--geom", env["GEOM"]]
         t0 = time.perf_counter()
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               env=child_env, timeout=900)
