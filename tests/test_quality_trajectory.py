@@ -118,3 +118,11 @@ def test_precision_arms_recorded_negative():
     assert h[-1] > h[0]          # highest keeps improving
     assert d[-1] < d[0] - 1.0    # default regresses (the negative)
     assert h[-1] > d[-1] + 2.0
+    # round-4 scoped arm: enc+dec DEFAULT via the per-submodule policy
+    # (per-op HIGHEST on VQ/loss GEMMs intact) regresses just the same —
+    # loss-GEMM pinning can't recover detail the bf16 forward destroyed
+    s = [r["SISDR@6"] for r in arms["scoped"]["trajectory"]]
+    assert s[0] == pytest.approx(h[0], abs=0.5)  # same checkpoint
+    assert s[-1] < s[0] - 1.0    # scoped regresses too
+    assert arms["scoped"]["enc_precision"] == "default"
+    assert arms["scoped"]["dec_precision"] == "default"
