@@ -65,15 +65,44 @@ def main():
             state, aux = train_step(state, batch, ns, False)
         float(np.asarray(aux["loss"]))
         best = min(best, time.perf_counter() - t0)
+    dispatch_ms = best / iters * 1e3
 
-    step_ms = best / iters * 1e3
-    samples_per_s = B / (best / iters)
+    # Sustained scan-mode throughput — the Trainer's production path
+    # (make_multi_step): K steps fused in one lax.scan dispatch. On this
+    # environment sustained == per-dispatch to ~1% (dispatch latency is
+    # negligible); both are printed so the claim stays checkable.
+    from esc_tpu.train.trainer import make_multi_step
+
+    K = 50
+    multi = make_multi_step(train_step.core, False)
+    batches = jax.device_put(np.broadcast_to(
+        np.asarray(batch), (K,) + np.asarray(batch).shape).copy())
+    ns_arr = jax.numpy.full((K,), 6, jax.numpy.int32)
+    state, auxs = multi(state, batches, ns_arr)
+    float(np.asarray(auxs["loss"])[-1])  # warm + fetch
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, auxs = multi(state, batches, ns_arr)
+        float(np.asarray(auxs["loss"])[-1])  # real D2H fetch
+        best = min(best, time.perf_counter() - t0)
+    step_ms = best / K * 1e3
+    samples_per_s = B / (best / K)
+
+    # MFU: XLA cost analysis of this exact compiled step at (9, 47920)
+    # is 1.2704e12 FLOPs (tools/mfu.py, artifacts/mfu_estimate.json —
+    # batch fwd+bwd+AdamW). v5e datasheet peaks.
+    flops_per_step = 1.2704e12 if (B, L) == (9, 47920) else None
+    mfu = (round(flops_per_step / (step_ms / 1e3) / 98.3e12, 4)
+           if flops_per_step else None)
+
     ref_per_gpu = 4.34 * 36 / 4  # 39.06 samples/s per RTX 4090
     print(json.dumps({
         "metric": "train_samples_per_s_per_chip",
         "value": round(samples_per_s, 1),
-        "unit": f"samples/s (ESC-Base, batch {B}, 3s clips; "
-                f"step {step_ms:.2f} ms)",
+        "unit": f"samples/s (ESC-Base, batch {B}, 3s clips; sustained "
+                f"scan-mode step {step_ms:.2f} ms, per-dispatch "
+                f"{dispatch_ms:.2f} ms; MFU vs fp32 peak {mfu})",
         "vs_baseline": round(samples_per_s / ref_per_gpu, 2),
     }))
 

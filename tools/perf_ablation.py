@@ -161,11 +161,12 @@ def _probe_trainstep(B, L, enc_prec=None, dec_prec=None, geom=None):
 def _probe_train_scan(B, L, chunk=100, enc_prec=None, dec_prec=None,
                       geom=None):
     """Sustained train throughput: `chunk` steps fused in one lax.scan
-    dispatch (the longrun's production mode). The per-step probe above
-    pays the remote-tunnel dispatch latency on EVERY step (~370 ms on
-    this environment), which buries the device time; real training
-    amortizes it over scan chunks, so this row is the honest number to
-    compare against the reference's per-GPU step time."""
+    dispatch (the longrun's production mode). Measured round 4:
+    sustained == per-dispatch (489 vs 493 ms at B=9, highest) — the
+    remote-tunnel per-dispatch latency is ~4 ms/step, negligible. The
+    row exists to PROVE that (an earlier session wrongly inferred
+    ~120 ms sustained from longrun wall clocks — those train 0.5 s
+    clips at batch 8, ~6.8x less work than this 3 s batch-9 geometry)."""
     import jax
     import jax.numpy as jnp
     from types import SimpleNamespace
