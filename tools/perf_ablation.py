@@ -272,6 +272,10 @@ MATRIX = [
      {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
     ("trainscan_b9_default", "trainscan", 9, 47920,
      {"JAX_DEFAULT_MATMUL_PRECISION": "default"}),
+    # 'high' = bf16_3x emulation: half the passes of 'highest', pairs
+    # with the armHigh3x quality arm (tools/r4c_session_queue.sh step 3)
+    ("trainscan_b9_high", "trainscan", 9, 47920,
+     {"JAX_DEFAULT_MATMUL_PRECISION": "high"}),
     ("trainscan_b9_scoped_encdec", "trainscan", 9, 47920,
      {"JAX_DEFAULT_MATMUL_PRECISION": "highest",
       "ENC_PREC": "default", "DEC_PREC": "default"}),
