@@ -1,8 +1,9 @@
 """Bitrate-ladder regression: the committed speech-like long-run curve
 must be healthy at ALL SIX operating points (VERDICT r3 item 3).
 
-Golden: tests/golden/bitrate_curve_speech.json — a 40k-step from-scratch
-ESC-Base run on the real TPU chip (tools/quality_longrun.py, 32
+Golden: tests/golden/bitrate_curve_speech.json — a 60k-step from-scratch
+ESC-Base run on the real TPU chip (speechA 40k + speechB 20k,
+tools/quality_longrun.py, 32
 source-filter speech-like clips, quantization dropout 0.75 — the
 reference PAPER recipe, /root/reference/README.md:43) evaluated with
 tools/eval_bitrate_curve.py at s=1..6 (1.5-9 kbps). This is the
