@@ -47,7 +47,11 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                        model_config: dict | None = None,
                        disc_config: dict | None = None,
                        batch_size: int = 8,
-                       save_ckpt: str | None = None) -> Dict:
+                       save_ckpt: str | None = None,
+                       dropout_rate: float = 0.5,
+                       corpus_desc: str =
+                       "16 noise-free harmonic clips (make_corpus noise=0)"
+                       ) -> Dict:
     import jax
     import jax.numpy as jnp
 
@@ -72,7 +76,7 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
     args = argparse.Namespace(
         exp_name="advtraj", lr=lr, num_epochs=1, num_pretraining_epochs=0,
         num_warmup_steps=0, val_metric="SISDR", scheduler_type="constant",
-        dropout_rate=0.5, pretrain_ckp=None, log_steps=10 ** 9,
+        dropout_rate=dropout_rate, pretrain_ckp=None, log_steps=10 ** 9,
         save_path=None, seed=seed)
 
     trainer = TrainerAdv(config, args, devices=jax.devices()[:1])
@@ -163,7 +167,8 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                    "10 disc",
         "config": ("ESC-Base" if model_config is None else "custom")
                   + " + MPD/MRD discriminator",
-        "corpus": "16 noise-free harmonic clips (make_corpus noise=0)",
+        "dropout_rate": dropout_rate,
+        "corpus": corpus_desc,
         "trajectory": traj,
     }
 
@@ -181,14 +186,32 @@ def main(argv=None) -> int:
                    help="smaller batches shrink the fused gen+disc step "
                         "graph (this environment's compile helper OOMs "
                         "on the B=8 adversarial graph)")
+    p.add_argument("--dropout-rate", type=float, default=0.5,
+                   help="quantization-dropout rate during the adv stage "
+                        "(the paper recipe uses 0.75)")
+    p.add_argument("--corpus", choices=("harmonic", "speechlike"),
+                   default="harmonic",
+                   help="harmonic: 16 noise-free clips (the r2 stability "
+                        "golden); speechlike: 32 source-filter clips "
+                        "(tools/speech_corpus.py), the corpus the "
+                        "speechA/B non-adv runs trained on")
     a = p.parse_args(argv)
-    from tools.quality_trajectory import make_corpus
     with tempfile.TemporaryDirectory() as d:
-        make_corpus(d, noise=0.0)
+        if a.corpus == "speechlike":
+            from tools.speech_corpus import make_speech_corpus
+            make_speech_corpus(d)
+            corpus_desc = ("32 speech-like source-filter clips "
+                           "(speech_corpus.py seed 7)")
+        else:
+            from tools.quality_trajectory import make_corpus
+            make_corpus(d, noise=0.0)
+            corpus_desc = ("16 noise-free harmonic clips "
+                           "(make_corpus noise=0)")
         result = run_adv_trajectory(
             d, pretrain_steps=a.pretrain_steps, adv_steps=a.adv_steps,
             eval_every=a.eval_every, lr=a.lr, init_ckpt=a.init_ckpt,
-            batch_size=a.batch_size, save_ckpt=a.save_ckpt)
+            batch_size=a.batch_size, save_ckpt=a.save_ckpt,
+            dropout_rate=a.dropout_rate, corpus_desc=corpus_desc)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
