@@ -114,6 +114,24 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                 row[k] = round(float(np.asarray(aux[k])), 5)
         return row
 
+    def save_now(st, step) -> None:
+        # periodic save: a wall-clock kill must not lose the run
+        if not save_ckpt:
+            return
+        from esc_tpu.checkpoint import save_checkpoint
+        save_checkpoint(os.path.dirname(save_ckpt) or ".",
+                        os.path.basename(save_ckpt),
+                        step=step,
+                        model_state=jax.device_get(st[0]),
+                        optimizer_state=jax.device_get(st[1]),
+                        scheduler_state={"type": "constant", "step": step},
+                        best_perf=-1.0,
+                        extra={"model_disc_state_dict":
+                                   jax.device_get(st[2]),
+                               "optimizer_disc_state_dict":
+                                   jax.device_get(st[3])})
+        print(f"adv params saved to {save_ckpt} at step {step}", flush=True)
+
     traj: List[Dict] = []
     aux = None
     total = pretrain_steps + adv_steps
@@ -138,23 +156,7 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         if (step + 1) % eval_every == 0 or step + 1 == total:
             traj.append(evaluate(state[0], step + 1, stage, aux))
             print(json.dumps(traj[-1]), flush=True)
-    if save_ckpt:
-        import os as _os
-
-        from esc_tpu.checkpoint import save_checkpoint
-        save_checkpoint(_os.path.dirname(save_ckpt) or ".",
-                        _os.path.basename(save_ckpt),
-                        step=pretrain_steps + adv_steps,
-                        model_state=jax.device_get(state[0]),
-                        optimizer_state=jax.device_get(state[1]),
-                        scheduler_state={"type": "constant",
-                                         "step": pretrain_steps + adv_steps},
-                        best_perf=-1.0,
-                        extra={"model_disc_state_dict":
-                                   jax.device_get(state[2]),
-                               "optimizer_disc_state_dict":
-                                   jax.device_get(state[3])})
-        print(f"adv params saved to {save_ckpt}", flush=True)
+            save_now(state, step + 1)
     return {
         "backend": jax.default_backend(),
         "seed": seed,
