@@ -85,6 +85,15 @@ def main(argv=None) -> int:
                    default="harmonic",
                    help="eval corpus; use the one the checkpoint was "
                         "trained on for apples-to-apples curves")
+    p.add_argument("--val-seed", type=int, default=None,
+                   help="corpus RNG seed for a HELD-OUT eval (speechlike "
+                        "only; train seed is 7 — any other value yields "
+                        "clips the checkpoint never saw). Default: the "
+                        "train seed (legacy trainset eval, labeled so).")
+    p.add_argument("--n-clips", type=int, default=None,
+                   help="number of eval clips (default: corpus default)")
+    p.add_argument("--n-batches", type=int, default=1,
+                   help="how many batches of 8 to evaluate (default 1)")
     a = p.parse_args(argv)
 
     import jax
@@ -97,10 +106,13 @@ def main(argv=None) -> int:
     from esc_tpu.utils import dict2namespace
     from tools.quality_longrun import BASE_CONFIG
 
+    corpus_seed = 7 if a.val_seed is None else a.val_seed
+    held_out = a.corpus == "speechlike" and corpus_seed != 7
     with tempfile.TemporaryDirectory() as d:
         if a.corpus == "speechlike":
-            from tools.speech_corpus import make_speech_corpus
-            make_speech_corpus(d)
+            from tools.speech_corpus import make_speech_corpus, N_CLIPS
+            make_speech_corpus(d, n_clips=a.n_clips or N_CLIPS,
+                               seed=corpus_seed)
         else:
             from tools.quality_trajectory import make_corpus
             make_corpus(d, noise=0.0)
@@ -129,25 +141,65 @@ def main(argv=None) -> int:
         jnp.asarray, payload["model_state_dict"])}
     print(f"loaded params from {a.ckpt}", flush=True)
 
-    from esc_tpu.metrics import PESQ
+    from esc_tpu.metrics import PESQ, EntropyCounter
     mel_fn, sdr_fn, stoi_fn, pesq_fn = (MelSpectrogramDistance(), SISDR(),
                                         STOI(), PESQ())
-    x = batches[0]
+    eval_batches = batches[:a.n_batches]
     rows = []
-    xh = np.asarray(x)
     for s in a.streams:
-        out = model(x, None, num_streams=s)
-        recon = np.asarray(out["recon_audio"])
-        al = [aligned_sisdr(xh[b], recon[b]) for b in range(xh.shape[0])]
+        accum = {"SISDR": [], "SISDR_aligned": [], "STOI": [], "PESQ": [],
+                 "MelDist": []}
+        lags = []
+        # per-stream codebook utilization at this transmitted stream count
+        # (reference semantics: scripts/test.py:35-48, metrics.py:68-77)
+        ec = EntropyCounter(model.module.codebook_size, num_streams=s,
+                            num_groups=model.module.group_size)
+        zq_sq = np.zeros(s)   # sum of squared quantized residuals per stream
+        zq_n = np.zeros(s)
+        for x in eval_batches:
+            out = model(x, None, num_streams=s)
+            recon = np.asarray(out["recon_audio"])
+            xh = np.asarray(x)
+            codes = out["codes"][:, :s]
+            ec.update(codes)
+            # quantized residual magnitude per scale: decodes each
+            # stream's codes through its own product VQ — a dead stream
+            # shows up as zq_rms ~ 0 (or utilization ~ 0 bits).
+            for i in range(s):
+                zq = np.asarray(model.module.apply(
+                    model.variables, np.asarray(codes[:, i]), 3,
+                    method=lambda m, c, d, _i=i: m.quantizers[_i].decode(
+                        c, d)))
+                zq_sq[i] += float((zq.astype(np.float64) ** 2).sum())
+                zq_n[i] += zq.size
+            al = [aligned_sisdr(xh[b], recon[b]) for b in range(xh.shape[0])]
+            lags += [lag for _, lag in al]
+            accum["SISDR"] += list(np.asarray(sdr_fn(x, recon)))
+            accum["SISDR_aligned"] += [v for v, _ in al]
+            accum["STOI"] += list(np.asarray(stoi_fn(xh, recon)))
+            accum["PESQ"] += list(np.asarray(pesq_fn(xh, recon)))
+            accum["MelDist"] += list(np.asarray(mel_fn(x, recon)))
+        util, per_book = ec.compute_utilization()
+        per_stream_util = [
+            round(float(np.mean([per_book[f"stream_{i}_group_{g + 1}"]
+                                 for g in range(model.module.group_size)])),
+                  4)
+            for i in range(s)]
         row = {
             "num_streams": s,
             "kbps": 1.5 * s,
-            "SISDR": round(float(np.mean(sdr_fn(x, recon))), 3),
-            "SISDR_aligned": round(float(np.mean([v for v, _ in al])), 3),
-            "lags": [lag for _, lag in al],
-            "STOI": round(float(np.nanmean(stoi_fn(xh, recon))), 3),
-            "PESQ": round(float(np.nanmean(pesq_fn(xh, recon))), 3),
-            "MelDist": round(float(np.mean(mel_fn(x, recon))), 3),
+            "SISDR": round(float(np.mean(accum["SISDR"])), 3),
+            "SISDR_aligned": round(float(np.mean(accum["SISDR_aligned"])),
+                                   3),
+            "lags": lags,
+            "STOI": round(float(np.nanmean(accum["STOI"])), 3),
+            "PESQ": round(float(np.nanmean(accum["PESQ"])), 3),
+            "MelDist": round(float(np.mean(accum["MelDist"])), 3),
+            "utilization": round(float(util), 4),
+            "utilization_per_stream": per_stream_util,
+            "zq_rms_per_stream": [
+                round(float(np.sqrt(zq_sq[i] / max(zq_n[i], 1))), 5)
+                for i in range(s)],
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -156,7 +208,9 @@ def main(argv=None) -> int:
         from esc_tpu.metrics import PESQ_BACKEND
         with open(a.out, "w") as f:
             json.dump({"ckpt": a.ckpt, "backend": jax.default_backend(),
-                       "corpus": a.corpus, "pesq_backend": PESQ_BACKEND,
+                       "corpus": a.corpus, "corpus_seed": corpus_seed,
+                       "held_out": held_out, "n_clips": a.n_clips,
+                       "pesq_backend": PESQ_BACKEND,
                        "curve": rows}, f, indent=2)
         print(f"curve written to {a.out}")
     return 0
