@@ -68,8 +68,14 @@ def save_checkpoint(save_path: str, tag: str, *, step: int,
             payload[k] = v if isinstance(v, (str, int, float)) \
                 else _to_serializable(v)
     path = os.path.join(save_path, tag)
-    with open(path, "wb") as f:
+    # Atomic write: serialize to a temp file in the same directory, then
+    # os.replace — a kill mid-write leaves the previous valid checkpoint
+    # intact instead of a truncated file (matters for rolling saves that
+    # overwrite the only copy in place).
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
     return path
 
 

@@ -50,7 +50,10 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                        save_ckpt: str | None = None,
                        dropout_rate: float = 0.5,
                        corpus_desc: str =
-                       "16 noise-free harmonic clips (make_corpus noise=0)"
+                       "16 noise-free harmonic clips (make_corpus noise=0)",
+                       save_every: int | None = None,
+                       slim_save: bool = False,
+                       val_dir: str | None = None,
                        ) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -63,7 +66,8 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
 
     model_cfg = model_config or BASE_CONFIG
     config = dict2namespace({
-        "data": {"train_data_path": data_dir, "val_data_path": data_dir,
+        "data": {"train_data_path": data_dir,
+                 "val_data_path": val_dir or data_dir,
                  "num_workers": 0, "train_bs_per_device": batch_size,
                  "val_bs_per_device": batch_size},
         "model_name": "csvq+swinT",
@@ -80,7 +84,7 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         save_path=None, seed=seed)
 
     trainer = TrainerAdv(config, args, devices=jax.devices()[:1])
-    model, train_dl, _ = trainer.load()
+    model, train_dl, val_dl = trainer.load()
     params = model.variables["params"]
     if init_ckpt:
         from esc_tpu.checkpoint import restore_into
@@ -94,7 +98,8 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
     step_fn = trainer._make_step_fn(model.module)
 
     batches = [jax.device_put(b) for b in train_dl]
-    eval_batch = np.asarray(jax.device_get(batches[0]))
+    eval_batch = (np.asarray(list(val_dl)[0]) if val_dir
+                  else np.asarray(jax.device_get(batches[0])))
     mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
     drop_rng = np.random.default_rng(seed)
     ns_max = model_cfg["max_streams"]
@@ -115,21 +120,25 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         return row
 
     def save_now(st, step) -> None:
-        # periodic save: a wall-clock kill must not lose the run
+        # periodic save: a wall-clock kill must not lose the run.
+        # slim_save keeps only generator params (~33 MB vs ~600 MB with
+        # disc + both optimizer states) — the durable artifact; full
+        # state stays opt-in for true resume.
         if not save_ckpt:
             return
         from esc_tpu.checkpoint import save_checkpoint
+        extra = None if slim_save else {
+            "model_disc_state_dict": jax.device_get(st[2]),
+            "optimizer_disc_state_dict": jax.device_get(st[3])}
         save_checkpoint(os.path.dirname(save_ckpt) or ".",
                         os.path.basename(save_ckpt),
                         step=step,
                         model_state=jax.device_get(st[0]),
-                        optimizer_state=jax.device_get(st[1]),
+                        optimizer_state=None if slim_save
+                        else jax.device_get(st[1]),
                         scheduler_state={"type": "constant", "step": step},
                         best_perf=-1.0,
-                        extra={"model_disc_state_dict":
-                                   jax.device_get(st[2]),
-                               "optimizer_disc_state_dict":
-                                   jax.device_get(st[3])})
+                        extra=extra)
         print(f"adv params saved to {save_ckpt} at step {step}", flush=True)
 
     traj: List[Dict] = []
@@ -156,6 +165,11 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         if (step + 1) % eval_every == 0 or step + 1 == total:
             traj.append(evaluate(state[0], step + 1, stage, aux))
             print(json.dumps(traj[-1]), flush=True)
+        # checkpoint cadence decoupled from eval cadence: the full-state
+        # device_get + msgpack write is hundreds of MB — at eval_every=50
+        # it would dominate step time on long runs
+        if ((step + 1) % (save_every or eval_every) == 0
+                or step + 1 == total):
             save_now(state, step + 1)
     return {
         "backend": jax.default_backend(),
@@ -171,6 +185,7 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
                   + " + MPD/MRD discriminator",
         "dropout_rate": dropout_rate,
         "corpus": corpus_desc,
+        "eval_on": "held-out val corpus" if val_dir else "train batch 0",
         "trajectory": traj,
     }
 
@@ -197,13 +212,34 @@ def main(argv=None) -> int:
                         "golden); speechlike: 32 source-filter clips "
                         "(tools/speech_corpus.py), the corpus the "
                         "speechA/B non-adv runs trained on")
+    p.add_argument("--n-clips", type=int, default=None,
+                   help="train corpus size (speechlike only; default 32)")
+    p.add_argument("--val-seed", type=int, default=None,
+                   help="HELD-OUT val corpus seed (speechlike only); the "
+                        "trajectory then evaluates on unseen clips")
+    p.add_argument("--val-clips", type=int, default=64)
+    p.add_argument("--save-every", type=int, default=None,
+                   help="checkpoint cadence in steps (default: every "
+                        "eval boundary)")
+    p.add_argument("--slim-save", action="store_true",
+                   help="save generator params only (~33 MB) instead of "
+                        "the full ~600 MB gen+disc+optimizer state")
     a = p.parse_args(argv)
-    with tempfile.TemporaryDirectory() as d:
+    with tempfile.TemporaryDirectory() as d, \
+            tempfile.TemporaryDirectory() as dv:
+        val_dir = None
         if a.corpus == "speechlike":
             from tools.speech_corpus import make_speech_corpus
-            make_speech_corpus(d)
-            corpus_desc = ("32 speech-like source-filter clips "
+            n = a.n_clips or 32
+            make_speech_corpus(d, n_clips=n)
+            corpus_desc = (f"{n} speech-like source-filter clips "
                            "(speech_corpus.py seed 7)")
+            if a.val_seed is not None:
+                assert a.val_seed != 7, "val seed must differ from train"
+                make_speech_corpus(dv, n_clips=a.val_clips, seed=a.val_seed)
+                val_dir = dv
+                corpus_desc += (f"; held-out val: {a.val_clips} clips "
+                                f"seed {a.val_seed}")
         else:
             from tools.quality_trajectory import make_corpus
             make_corpus(d, noise=0.0)
@@ -213,7 +249,9 @@ def main(argv=None) -> int:
             d, pretrain_steps=a.pretrain_steps, adv_steps=a.adv_steps,
             eval_every=a.eval_every, lr=a.lr, init_ckpt=a.init_ckpt,
             batch_size=a.batch_size, save_ckpt=a.save_ckpt,
-            dropout_rate=a.dropout_rate, corpus_desc=corpus_desc)
+            dropout_rate=a.dropout_rate, corpus_desc=corpus_desc,
+            save_every=a.save_every, slim_save=a.slim_save,
+            val_dir=val_dir)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -57,6 +57,8 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
                 dropout_rate: float = 0.75,
                 enc_precision: str | None = None,
                 dec_precision: str | None = None,
+                val_dir: str | None = None,
+                batch_size: int = 8,
                 ) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -72,9 +74,10 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
     if dec_precision:
         model_cfg["dec_precision"] = dec_precision
     config = dict2namespace({
-        "data": {"train_data_path": data_dir, "val_data_path": data_dir,
-                 "num_workers": 0, "train_bs_per_device": 8,
-                 "val_bs_per_device": 8},
+        "data": {"train_data_path": data_dir,
+                 "val_data_path": val_dir or data_dir,
+                 "num_workers": 0, "train_bs_per_device": batch_size,
+                 "val_bs_per_device": batch_size},
         "model_name": "csvq+swinT",
         "model": model_cfg,
         "loss": {"stft_weight": 1.0, "cm_weight": 0.25, "cb_weight": 1.0,
@@ -92,7 +95,7 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         save_path=None, seed=seed)
 
     trainer = Trainer(config, args, devices=jax.devices()[:1])
-    model, train_dl, _ = trainer.load()
+    model, train_dl, val_dl = trainer.load()
     params = model.variables["params"]
     if init_ckpt:
         from esc_tpu.checkpoint import restore_into
@@ -104,8 +107,12 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
     state = (params, trainer.tx.init(params))
     step_fn = trainer._make_step_fn(model.module)
 
-    batches = list(train_dl)  # 2 fixed batches of 8
-    eval_batch = batches[0]
+    batches = list(train_dl)  # fixed batches, cycled in order
+    # evaluate on HELD-OUT data when a separate val corpus is given —
+    # a trainset eval on a small memorized corpus says nothing about the
+    # codec (artifacts/bitrate_curve_speechB_heldout.json: -30 dB SI-SDR
+    # held-out vs +24 dB trainset on the r4 checkpoint)
+    eval_batch = list(val_dl)[0] if val_dir else batches[0]
     mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
     drop_rng = np.random.default_rng(seed)
     ns_max = BASE_CONFIG["max_streams"]
@@ -206,6 +213,8 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
         "init_ckpt": init_ckpt,
         "config": "ESC-Base (8.39M params, codebook_dims [8]*6)",
         "corpus": corpus_desc,
+        "batch_size": batch_size,
+        "eval_on": "held-out val corpus" if val_dir else "train batch 0",
         "recipe": "freeze pretrain -> quantization-dropout main, "
                   "constant lr, optimizer renewal at the switch",
         "eval_streams": list(eval_streams),
@@ -241,13 +250,32 @@ def main(argv=None) -> int:
                         "glottal-pulse/formant synthesis with transient "
                         "anchors (tools/speech_corpus.py) — required for "
                         "meaningful low-bitrate SI-SDR")
+    p.add_argument("--n-clips", type=int, default=None,
+                   help="train corpus size (speechlike only; default 32). "
+                        "32 x 0.5 s = 16 s of audio is memorized by 60k "
+                        "steps — use >=512 for generalization runs")
+    p.add_argument("--val-seed", type=int, default=None,
+                   help="generate a HELD-OUT val corpus with this seed "
+                        "(speechlike only) and evaluate the trajectory on "
+                        "it instead of the train batch")
+    p.add_argument("--val-clips", type=int, default=64)
+    p.add_argument("--batch-size", type=int, default=8)
     a = p.parse_args(argv)
-    with tempfile.TemporaryDirectory() as d:
+    with tempfile.TemporaryDirectory() as d, \
+            tempfile.TemporaryDirectory() as dv:
+        val_dir = None
         if a.corpus == "speechlike":
             from tools.speech_corpus import make_speech_corpus
-            make_speech_corpus(d)
-            corpus_desc = "32 speech-like source-filter clips " \
+            n = a.n_clips or 32
+            make_speech_corpus(d, n_clips=n)
+            corpus_desc = f"{n} speech-like source-filter clips " \
                           "(speech_corpus.py seed 7)"
+            if a.val_seed is not None:
+                assert a.val_seed != 7, "val seed must differ from train"
+                make_speech_corpus(dv, n_clips=a.val_clips, seed=a.val_seed)
+                val_dir = dv
+                corpus_desc += (f"; held-out val: {a.val_clips} clips "
+                                f"seed {a.val_seed}")
         else:
             from tools.quality_trajectory import make_corpus
             make_corpus(d, noise=0.0)
@@ -260,7 +288,8 @@ def main(argv=None) -> int:
                              corpus_desc=corpus_desc,
                              dropout_rate=a.dropout_rate,
                              enc_precision=a.enc_precision,
-                             dec_precision=a.dec_precision)
+                             dec_precision=a.dec_precision,
+                             val_dir=val_dir, batch_size=a.batch_size)
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
