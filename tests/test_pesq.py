@@ -103,3 +103,63 @@ def test_ranking_agrees_with_stoi(speech):
     p = [pesq_wb(speech, d) for d in degs]
     s = [stoi(speech, d, SR) for d in degs]
     assert np.array_equal(np.argsort(p), np.argsort(s)), (p, s)
+
+
+# ---------------------------------------------------------------------
+# Calibration battery (VERDICT r4 item 6): known-ordering degradations
+# beyond plain additive noise, and plausible-MOS-range pins. The scale
+# caveat stands — numpy-p862 values are NOT comparable to ITU-C-lib
+# numbers (see module docstring of esc_tpu/metrics_pesq.py and the
+# ``pesq_backend`` field every artifact records) — but ORDERINGS and
+# coarse ranges must hold for the metric to support checkpoint
+# selection and bitrate curves.
+# ---------------------------------------------------------------------
+
+def test_monotone_in_mnru_q(speech):
+    """MNRU (ITU-T P.810 modulated-noise reference unit): speech plus
+    speech-correlated noise at Q dB. The canonical PESQ calibration
+    ladder — scores must rank by Q."""
+    rng = np.random.default_rng(5)
+    n = rng.standard_normal(len(speech))
+
+    def mnru(q_db):
+        return speech * (1.0 + 10 ** (-q_db / 20) * n)
+
+    scores = [pesq_wb(speech, mnru(q)) for q in (35, 25, 15, 5)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.0 and scores[-1] < 2.5, scores
+
+
+def test_monotone_in_quantization_depth(speech):
+    """Uniform scalar quantization (bit-crush) at stepped depths — a
+    codec-like distortion ladder; must rank by bit depth and a 3-bit
+    crush must NOT score near-transparent (the r4 objection: a broken
+    metric that emits 4.5 for heavily-coded speech)."""
+    def crush(bits):
+        q = 2.0 ** (bits - 1)
+        return np.round(speech * q) / q
+
+    scores = [pesq_wb(speech, crush(b)) for b in (10, 6, 4, 3)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    assert scores[0] > 3.5, scores
+    assert scores[-1] < 3.6, scores
+
+
+def test_plausible_mos_ranges(speech):
+    """Coarse absolute pins so the scale cannot silently drift to
+    all-ceiling or all-floor: clean ~ceiling, SNR 20 dB mid-range,
+    SNR 0 dB bad."""
+    rng = np.random.default_rng(6)
+    n = rng.standard_normal(len(speech))
+    n /= np.linalg.norm(n)
+
+    def at_snr(snr_db):
+        return pesq_wb(
+            speech, speech + n * np.linalg.norm(speech)
+            * 10 ** (-snr_db / 20))
+
+    assert pesq_wb(speech, speech) > 4.2
+    mid, bad = at_snr(20), at_snr(0)
+    assert 1.8 < mid < 4.3, mid
+    assert bad < 2.0, bad
+    assert np.isfinite(mid) and np.isfinite(bad)
