@@ -35,8 +35,14 @@ CONFIGS = {
 }
 
 
-@pytest.fixture(scope="module", params=["base", "large"])
+@pytest.fixture(scope="module",
+                params=["base",
+                        pytest.param("large", marks=pytest.mark.slow)])
 def pair(request):
+    # ESC-Large (swin_depth 4, 15.58M params) runs in the slow tier
+    # only (ESC_TPU_SLOW=1): its CPU mirror forward dominates the
+    # default tier's wall time (VERDICT r4 weak item 7). ESC-Base full
+    # geometry stays in the default tier.
     from tests.torch_mirror import ESCMirror
     cfg = CONFIGS[request.param]
     torch.manual_seed(11)
