@@ -191,13 +191,16 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
             row["cb_loss"] = round(last_aux["cb_loss"](), 5)
             traj.append(row)
             print(json.dumps(row), flush=True)
-    if save_ckpt:
-        from esc_tpu.checkpoint import save_checkpoint
-        import os as _os
-        save_checkpoint(_os.path.dirname(save_ckpt) or ".",
-                        _os.path.basename(save_ckpt), step=total_steps,
-                        model_state=jax.device_get(state[0]))
-        print(f"params saved to {save_ckpt}", flush=True)
+            if save_ckpt:
+                # rolling params-only save (atomic tmp+rename inside
+                # save_checkpoint): a wall-clock kill keeps the last
+                # eval-boundary params; ~33 MB, negligible vs eval cost
+                from esc_tpu.checkpoint import save_checkpoint
+                import os as _os
+                save_checkpoint(_os.path.dirname(save_ckpt) or ".",
+                                _os.path.basename(save_ckpt), step=done,
+                                model_state=jax.device_get(state[0]))
+                print(f"params saved to {save_ckpt} at {done}", flush=True)
     return {
         "backend": jax.default_backend(),
         "seed": seed,
@@ -260,6 +263,7 @@ def main(argv=None) -> int:
                         "it instead of the train batch")
     p.add_argument("--val-clips", type=int, default=64)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--eval-streams", type=int, nargs="*", default=[6, 3])
     a = p.parse_args(argv)
     with tempfile.TemporaryDirectory() as d, \
             tempfile.TemporaryDirectory() as dv:
@@ -289,7 +293,8 @@ def main(argv=None) -> int:
                              dropout_rate=a.dropout_rate,
                              enc_precision=a.enc_precision,
                              dec_precision=a.dec_precision,
-                             val_dir=val_dir, batch_size=a.batch_size)
+                             val_dir=val_dir, batch_size=a.batch_size,
+                             eval_streams=tuple(a.eval_streams))
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as f:
         json.dump(result, f, indent=2)
