@@ -105,6 +105,8 @@ def test_dac_trainer_smoke(tmp_path, rng):
     assert os.path.exists(tmp_path / "out" / "latest.ckpt")
 
 
+@pytest.mark.slow  # 58 s full-trainer integration (with test_dac.py:84
+# it moves ALL DAC-trainer coverage to the slow tier, exercised per round)
 def test_dac_trainer_validate_tag_resume(tmp_path, rng):
     """Full-val-set validation drives latest/best/Nk tags; resume
     restores the complete training state (train_customize.py:320-460)."""

@@ -42,6 +42,8 @@ def adv_trainer(wav_folder):  # noqa: F811
     return t, model, train_dl
 
 
+@pytest.mark.slow  # 80 s 2-device GAN-step integration; the adv step
+# stays default-covered by test_resume.py's TrainerAdv resume test
 def test_adv_step(adv_trainer):
     t, model, train_dl = adv_trainer
     params = model.variables["params"]

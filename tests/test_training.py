@@ -51,6 +51,8 @@ def test_loader_worker_error_propagates(wav_folder, tmp_path):
             pass
 
 
+@pytest.mark.slow  # 70 s multi-step integration; step correctness is
+# default-covered by test_resume / test_parallel / torch_parity_trainstep
 def test_train_steps_decrease_loss(wav_folder):
     import argparse
     from esc_tpu.train.trainer import Trainer
@@ -104,6 +106,8 @@ def test_train_steps_decrease_loss(wav_folder):
     assert p
 
 
+@pytest.mark.slow  # 56 s; the scan path is also exercised every round
+# by the longrun tools whose goldens test_quality_trajectory asserts
 def test_multi_step_scan_matches_single_steps(wav_folder):
     """make_multi_step (K steps per dispatch via lax.scan) must be
     numerically identical to K sequential single-step dispatches."""

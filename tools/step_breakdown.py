@@ -135,7 +135,13 @@ def main(argv=None) -> int:
                                          total_steps=1000, warmup_steps=0),
                            clip_norm=0.5)
     step = tr._make_step_fn(module)
-    state = (params, tr.tx.init(params))
+    # step is jitted with donate_argnums=(0,): give it a COPY of the
+    # params, or the first call donates (deletes) the buffers that the
+    # stft_alone block below still reads — on the axon tunnel that
+    # surfaces as INVALID_ARGUMENT at fetch time, not the usual
+    # "array has been deleted" (both prior on-chip runs died there).
+    params_copy = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    state = (params_copy, tr.tx.init(params_copy))
 
     def step_once():
         nonlocal state
