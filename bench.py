@@ -59,6 +59,18 @@ def _discover_devices_bounded(timeout_s=300):
 
 
 def main():
+    # Honor ESC_TPU_PLATFORM before ANY jax backend init (device
+    # discovery below initializes the backend; the sitecustomize pins
+    # JAX_PLATFORMS=axon so only jax.config can deselect the TPU).
+    # Without this, `ESC_TPU_PLATFORM=cpu bench.py` silently ran on the
+    # TPU — and a second TPU client serializes/wedges a concurrently
+    # running training job on the tunnel.
+    import os as _os
+    if _os.environ.get("ESC_TPU_PLATFORM"):
+        import jax as _jax0
+        _jax0.config.update("jax_platforms",
+                            _os.environ["ESC_TPU_PLATFORM"])
+
     _discover_devices_bounded()  # before esc_tpu import: it may touch
     # the backend (compile-cache setup), and discovery is the hang point
 

@@ -75,6 +75,83 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+@functools.lru_cache(maxsize=256)
+def _packed_block_mask(nW: int, N: int, pack: int, H: int, W: int,
+                       window: int, shift: int) -> np.ndarray:
+    """Static (G, P, P) additive mask for pack-windows-per-tile attention.
+
+    Block (j, j) of group g carries window (g*pack+j)'s SW-MSA mask
+    (zeros when unshifted / for dummy pad windows); everything off the
+    block diagonal is -1e9, which exp-underflows to exactly 0.0 in the
+    softmax — so packing changes only fp summation order, not the math.
+    """
+    P = pack * N
+    if shift > 0:
+        win_mask = swin_attention_mask(H, W, window, shift)  # (nW, N, N)
+    else:
+        win_mask = np.zeros((max(nW, 1), N, N), np.float32)
+    nW8 = -(-nW // pack) * pack
+    G = nW8 // pack
+    pm = np.full((G, P, P), -1e9, np.float32)
+    for g in range(G):
+        for j in range(pack):
+            w = g * pack + j
+            blk = win_mask[w] if w < nW else 0.0
+            pm[g, j * N:(j + 1) * N, j * N:(j + 1) * N] = blk
+    return pm
+
+
+def packed_window_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                            rel_bias: jnp.ndarray, num_heads: int,
+                            scale: float, nW: int, grid_hw: tuple,
+                            window: int, shift: int,
+                            pack: int = 8) -> jnp.ndarray:
+    """Window attention with ``pack`` windows stacked per attention tile.
+
+    The XLA einsum path issues batched (N, N, hd) matmuls with N=16 and
+    hd in {6..16} — each one occupies a full 128x128 MXU pass at ~1-2%
+    utilization. Stacking 8 windows gives (P=128, P=128, hd) shapes (8x
+    fewer passes at 64x more useful rows/cols per pass) at the price of
+    8x more score FLOPs — a large net win when attention wall-time is
+    pass-bound, which is what tools/layer_breakdown.py measures.
+
+    q/k/v: (B_, N, C) flattened windows (B_ = B * nW). Returns
+    (B_, N, C). Exact vs the unpacked path up to fp addition order
+    (masked logits are -1e9: exp underflows to exactly 0).
+    """
+    B_, N, C = q.shape
+    nh, hd = num_heads, C // num_heads
+    H, W = grid_hw
+    B = B_ // nW
+    nW8 = -(-nW // pack) * pack
+    G = nW8 // pack
+    P = pack * N
+
+    def to_groups(t):
+        t = t.reshape(B, nW, N, nh, hd)
+        if nW8 != nW:
+            t = jnp.pad(t, ((0, 0), (0, nW8 - nW), (0, 0), (0, 0), (0, 0)))
+        t = t.reshape(B, G, P, nh, hd)
+        return t.transpose(0, 1, 3, 2, 4)  # (B, G, nh, P, hd)
+
+    qg, kg, vg = to_groups(q), to_groups(k), to_groups(v)
+    scores = jnp.einsum("bghpd,bghqd->bghpq", qg * scale, kg,
+                        preferred_element_type=jnp.float32)
+    # block-diagonal rel-pos bias: out[h, jN+k, mN+l] = bias[h,k,l]·δjm
+    eye = np.eye(pack, dtype=np.float32)
+    bias_p = jnp.einsum("hkl,jm->hjkml", rel_bias, eye).reshape(nh, P, P)
+    pm = _packed_block_mask(nW, N, pack, H, W, window, shift)
+    scores = scores + bias_p[None, None].astype(scores.dtype)
+    scores = scores + jnp.asarray(pm)[None, :, None]
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bghpq,bghqd->bghpd", attn.astype(q.dtype), vg,
+                     preferred_element_type=jnp.float32)
+    out = out.transpose(0, 1, 3, 2, 4).reshape(B, nW8, N, C)
+    if nW8 != nW:
+        out = out[:, :nW]
+    return out.reshape(B_, N, C)
+
+
 def window_partition(x: jnp.ndarray, window: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B*nW, window, window, C). attention.py:246-250."""
     B, H, W, C = x.shape
@@ -105,8 +182,15 @@ class WindowAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  mask: Optional[np.ndarray] = None,
-                 training: bool = False) -> jnp.ndarray:
-        """x: (B_, N, C) windows; mask: static (nW, N, N) or None."""
+                 training: bool = False,
+                 packed: Optional[tuple] = None) -> jnp.ndarray:
+        """x: (B_, N, C) windows; mask: static (nW, N, N) or None.
+
+        ``packed``: optional static ``(nW, H, W, shift)`` describing the
+        window grid; when present and ``ESC_TPU_PACKED_ATTN=1``, the
+        pack-8 block-diagonal attention path is used (see
+        ``packed_window_attention``).
+        """
         B_, N, C = x.shape
         nh = self.num_heads
         hd = C // nh
@@ -143,6 +227,8 @@ class WindowAttention(nn.Module):
                      and _env != "0"
                      and fused_attention_profitable(nh, hd)
                      and (_env == "1" or B_ >= min_windows))
+        use_packed = (packed is not None and not use_fused
+                      and os.environ.get("ESC_TPU_PACKED_ATTN") == "1")
         if use_fused:
             # fused Pallas path: softmax + both batched matmuls stay in
             # VMEM (esc_tpu/ops/pallas/attention_kernels.py)
@@ -155,6 +241,11 @@ class WindowAttention(nn.Module):
                 m = jnp.tile(jnp.asarray(mask), (B_ // nW, 1, 1))
             out = fused_window_attention(q, k, v, rel_bias, m,
                                          num_heads=nh, scale=scale)
+        elif use_packed:
+            nW, gH, gW, shift = packed
+            q, k, v = jnp.split(qkv, 3, axis=-1)  # (B_, N, C) each
+            out = packed_window_attention(q, k, v, rel_bias, nh, scale,
+                                          nW, (gH, gW), wh, shift)
         else:
             qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
@@ -225,9 +316,11 @@ class SwinBlock(nn.Module):
             mask = swin_attention_mask(H, W, ws, ss)
 
         windows = window_partition(x, ws).reshape(-1, ws * ws, C)
+        nW = (Hp // ws) * (Wp // ws)
         attn = WindowAttention(C, (ws, ws), self.num_heads, self.qkv_bias,
                                self.qk_scale, dtype=self.dtype,
-                               name="attn")(windows, mask, training)
+                               name="attn")(windows, mask, training,
+                                            packed=(nW, H, W, ss))
         attn = attn.reshape(-1, ws, ws, C)
         x = window_reverse(attn, ws, Hp, Wp)
 

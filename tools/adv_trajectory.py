@@ -101,8 +101,12 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
     eval_batch = (np.asarray(list(val_dl)[0]) if val_dir
                   else np.asarray(jax.device_get(batches[0])))
     mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
+    from esc_tpu.metrics_pesq import pesq_wb
     drop_rng = np.random.default_rng(seed)
     ns_max = model_cfg["max_streams"]
+    best = {"PESQ": -1.0, "step": -1}  # val-PESQ checkpoint selection,
+    # mirroring the reference trainers' best-ckpt-by-val-PESQ
+    # (/root/reference/scripts/trainer_no_adv.py:147-149)
 
     def evaluate(p, step, stage, aux=None) -> Dict:
         model.variables = {"params": p}
@@ -113,6 +117,9 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
             "MelDistance": round(float(np.mean(mel_fn(eval_batch, recon))),
                                  3),
             "SISDR": round(float(np.mean(sdr_fn(eval_batch, recon))), 3),
+            "PESQ": round(float(np.mean(
+                [pesq_wb(r, d) for r, d in
+                 zip(eval_batch[:8], recon[:8])])), 3),
         }
         if aux is not None:
             for k in ("mel_loss", "gen_loss", "feat_loss", "disc_loss"):
@@ -165,6 +172,19 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         if (step + 1) % eval_every == 0 or step + 1 == total:
             traj.append(evaluate(state[0], step + 1, stage, aux))
             print(json.dumps(traj[-1]), flush=True)
+            if save_ckpt and traj[-1]["PESQ"] > best["PESQ"]:
+                best.update(PESQ=traj[-1]["PESQ"], step=step + 1)
+                from esc_tpu.checkpoint import save_checkpoint
+                save_checkpoint(os.path.dirname(save_ckpt) or ".",
+                                os.path.basename(save_ckpt) + ".best",
+                                step=step + 1,
+                                model_state=jax.device_get(state[0]),
+                                optimizer_state=None,
+                                scheduler_state={"type": "constant",
+                                                 "step": step + 1},
+                                best_perf=best["PESQ"])
+                print(f"new best val PESQ {best['PESQ']} at {step + 1}; "
+                      f"saved {save_ckpt}.best", flush=True)
         # checkpoint cadence decoupled from eval cadence: the full-state
         # device_get + msgpack write is hundreds of MB — at eval_every=50
         # it would dominate step time on long runs
@@ -186,6 +206,11 @@ def run_adv_trajectory(data_dir: str, pretrain_steps: int = 100,
         "dropout_rate": dropout_rate,
         "corpus": corpus_desc,
         "eval_on": "held-out val corpus" if val_dir else "train batch 0",
+        "best_val_pesq": best["PESQ"],
+        "best_val_pesq_step": best["step"],
+        "pesq_backend": "numpy-p862 (NOT comparable to ITU C-lib values; "
+                        "see esc_tpu/metrics_pesq.py + test_pesq "
+                        "calibration battery)",
         "trajectory": traj,
     }
 

@@ -115,6 +115,9 @@ def main(argv=None) -> int:
                         "fp32-highest)")
     p.add_argument("--on-chip", action="store_true",
                    help="measure step time in this process instead")
+    p.add_argument("--timing-source", default=None,
+                   help="provenance label for --step-ms (e.g. the "
+                        "artifact the number was measured into)")
     p.add_argument("--out", default=None)
     a = p.parse_args(argv)
 
@@ -160,7 +163,8 @@ def main(argv=None) -> int:
         "mfu_vs_fp32_peak": round(flops / sec / V5E_PEAK_FP32, 4),
         "backend": jax.default_backend(),
         "timing_source": "measured-here" if a.on_chip
-                         else "r3 fetch-verified 493ms",
+                         else (a.timing_source or
+                               "r3 fetch-verified 493ms"),
         "note": "flops from XLA cost analysis of the compiled step "
                 "(batch fwd+bwd+adam); peaks are v5e datasheet",
     }
