@@ -86,7 +86,7 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
     # dropout_rate 0.75 is the reference PAPER recipe (README.md:43
     # --dropout_rate 0.75); the r1-r3 longruns ran 0.5, halving
     # reduced-stream training pressure — a prime suspect in the
-    # ns<6 collapse (artifacts/bitrate_curve_stageC.json: the decoder
+    # ns<6 collapse (artifacts/bitrate_curves.json (stageC): the decoder
     # routed everything through the last stream).
     args = argparse.Namespace(
         exp_name="longrun", lr=lr, num_epochs=1, num_pretraining_epochs=0,
@@ -110,7 +110,7 @@ def run_longrun(data_dir: str, total_steps: int = 100_000,
     batches = list(train_dl)  # fixed batches, cycled in order
     # evaluate on HELD-OUT data when a separate val corpus is given —
     # a trainset eval on a small memorized corpus says nothing about the
-    # codec (artifacts/bitrate_curve_speechB_heldout.json: -30 dB SI-SDR
+    # codec (artifacts/bitrate_curves.json (speechB_heldout): -30 dB SI-SDR
     # held-out vs +24 dB trainset on the r4 checkpoint)
     eval_batch = list(val_dl)[0] if val_dir else batches[0]
     mel_fn, sdr_fn = MelSpectrogramDistance(), SISDR()
