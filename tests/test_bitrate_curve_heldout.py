@@ -28,24 +28,29 @@ import pytest
 IDX = os.path.join(os.path.dirname(__file__), os.pardir, "artifacts",
                    "bitrate_curves.json")
 KEY = "speechC_heldout"
+ADV_KEY = "speechCAdv_heldout"   # post-GAN ladder (VERDICT r4 item 5)
 
 UTIL_TAU = 0.15          # every transmitted stream must clear this
 TOTAL_GAIN_DB = 2.0      # SI-SDR(s=6) - SI-SDR(s=1) must exceed this
 STEP_TOL_DB = 0.1        # no step may regress by more than this
 
 
-@pytest.fixture(scope="module")
-def entry():
+def _rows(key):
     with open(IDX) as f:
         idx = json.load(f)
-    if KEY not in idx:
-        pytest.skip(f"{KEY} not yet folded into bitrate_curves.json "
+    if key not in idx:
+        pytest.skip(f"{key} not yet folded into bitrate_curves.json "
                     "(r5 chain still running)")
-    e = idx[KEY]
+    e = idx[key]
     assert e.get("held_out"), "artifact must be a held-out eval"
     rows = sorted(e["curve"], key=lambda r: r["num_streams"])
     assert [r["num_streams"] for r in rows] == [1, 2, 3, 4, 5, 6]
     return rows
+
+
+@pytest.fixture(scope="module", params=[KEY, ADV_KEY])
+def entry(request):
+    return _rows(request.param)
 
 
 def test_every_transmitted_stream_alive(entry):
@@ -70,3 +75,14 @@ def test_no_operating_point_regresses(entry):
     for lo, hi in zip(entry, entry[1:]):
         assert hi["SISDR"] >= lo["SISDR"] - STEP_TOL_DB, (lo, hi)
         assert hi["MelDist"] <= lo["MelDist"] + 0.05, (lo, hi)
+
+
+def test_gan_improves_heldout_ladder_everywhere():
+    """The adversarial finetune must not trade held-out fidelity for
+    discriminator score: at every operating point the post-GAN ladder
+    (best-by-val-PESQ checkpoint, reference selection policy) improves
+    both SI-SDR and MelDistance over the pre-GAN speechC ladder."""
+    pre, post = _rows(KEY), _rows(ADV_KEY)
+    for a, b in zip(pre, post):
+        assert b["SISDR"] > a["SISDR"], (a, b)
+        assert b["MelDist"] < a["MelDist"], (a, b)
