@@ -24,6 +24,7 @@ README performance table's source of truth.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -260,6 +261,36 @@ def bench_esc_train(B=9, L=47920):
             "vs_baseline": round(B / sec / ref_per_gpu, 2)}
 
 
+def bench_esc_train_packed_high(B=9, L=47920):
+    """Quality-safe opt-in train config (packed window attention +
+    3-pass-bf16 matmuls; README 'training') — measured in a SUBPROCESS
+    because both knobs are trace/startup-time: toggling them in this
+    process would silently reuse the already-compiled default step.
+    """
+    import subprocess
+
+    env = dict(os.environ, ESC_TPU_PACKED_ATTN="1",
+               JAX_DEFAULT_MATMUL_PRECISION="high")
+    out = subprocess.run(
+        [sys.executable, os.path.join("tools", "perf_ablation.py"),
+         "--probe", "trainscan", "--B", str(B), "--L", str(L)],
+        env=env, capture_output=True, text=True, timeout=1800)
+    for line in out.stdout.splitlines():
+        if line.startswith("PROBE_RESULT"):
+            ms = json.loads(line.split(None, 1)[1])["train_step_ms_sustained"]
+            ref_per_gpu = 4.34 * 36 / 4
+            sps = B / (ms / 1e3)
+            return {"metric": "esc_base_train_samples_per_s_packed_high",
+                    "value": round(sps, 1),
+                    "unit": f"samples/s (batch {B}, step {ms:.2f} ms, "
+                            "ESC_TPU_PACKED_ATTN=1 + "
+                            "JAX_DEFAULT_MATMUL_PRECISION=high, the "
+                            "measured quality-safe opt-in)",
+                    "vs_baseline": round(sps / ref_per_gpu, 2)}
+    raise RuntimeError(f"no PROBE_RESULT in perf_ablation output: "
+                       f"{out.stdout[-300:]} {out.stderr[-300:]}")
+
+
 def bench_dac(B=8, L=48000, sr=16000):
     import jax.numpy as jnp
 
@@ -323,6 +354,7 @@ def main():
         ("esc_large", lambda: bench_esc({**ESC_BASE, "swin_depth": 4},
                                         "esc_large")),
         ("esc_train", bench_esc_train),
+        ("esc_train_packed_high", bench_esc_train_packed_high),
         ("dac_tiny", bench_dac),
         ("encodec", bench_encodec),
     ]
