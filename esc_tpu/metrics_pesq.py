@@ -235,8 +235,14 @@ def pesq_wb(ref: np.ndarray, deg: np.ndarray, sr: int = FS) -> float:
     da_frame = da_frame[active]
 
     def _aggregate(v, p_intra=6.0, p_inter=2.0, span=20):
-        # L6 over 320 ms windows, then L2 over windows (P.862 psqm)
-        nwin = max(1, len(v) - span + 1)
+        # L6 over 320 ms windows, then L2 over windows (P.862 psqm).
+        # Clips shorter than one span (possible after VAD trimming +
+        # delay-dependent cropping of sub-second clips) aggregate over
+        # the frames that exist instead of indexing past the end.
+        if len(v) == 0:
+            return 0.0
+        span = min(span, len(v))
+        nwin = len(v) - span + 1
         idx = np.arange(span)[None, :] + np.arange(nwin)[:, None]
         w = (np.mean(v[idx] ** p_intra, axis=1)) ** (1.0 / p_intra)
         return float(np.mean(w ** p_inter) ** (1.0 / p_inter))

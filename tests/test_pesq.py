@@ -163,3 +163,18 @@ def test_plausible_mos_ranges(speech):
     assert 1.8 < mid < 4.3, mid
     assert bad < 2.0, bad
     assert np.isfinite(mid) and np.isfinite(bad)
+
+
+def test_short_clip_does_not_crash():
+    """Sub-span clips (< 20 active frames after VAD/delay cropping) must
+    aggregate over the frames that exist — regression for the
+    IndexError hit by test_adv_stage_short_run_is_stable's 0.5 s
+    harmonic-corpus eval (metrics_pesq.py psqm windowing)."""
+    rng = np.random.default_rng(0)
+    t = np.arange(4000) / 16000.0  # 0.25 s
+    ref = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    for deg in (ref + 0.05 * rng.standard_normal(4000).astype(np.float32),
+                ref,                      # identical
+                0.0 * ref):               # silence
+        mos = pesq_wb(ref, deg, 16000)
+        assert np.isfinite(mos) and 0.0 <= mos <= 5.0, mos
